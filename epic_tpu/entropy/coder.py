@@ -1,0 +1,201 @@
+"""numpy-first host rANS coder interface.
+
+Semantics match the reference's entropy-coder surface
+(``encode_with_indexes`` / ``decode_with_indexes``; reference:
+entropy_models.py:48-52, 206-294) but the API takes packed numpy arrays and
+whole batches, not per-item Python lists: symbols/indexes arrive as int32
+arrays straight out of a single ``jax.device_get``, and batched calls fan out
+across host threads in C++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Sequence
+
+import numpy as np
+
+from ..native import load_library
+
+_DEFAULT_PRECISION = 16
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _u32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _ascontig(a, dtype) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a), dtype=dtype)
+
+
+def pmf_to_quantized_cdf(pmf, precision: int = _DEFAULT_PRECISION) -> np.ndarray:
+    """Quantize one float pmf (1-D) to an integer CDF of length len(pmf)+1."""
+    lib = load_library()
+    pmf = _ascontig(pmf, np.float32)
+    out = np.zeros(pmf.shape[0] + 1, dtype=np.uint32)
+    rc = lib.epic_pmf_to_quantized_cdf(
+        _f32p(pmf), np.int32(pmf.shape[0]), np.int32(precision), _u32p(out)
+    )
+    if rc != 0:
+        raise ValueError(f"pmf_to_quantized_cdf failed with code {rc}")
+    return out.astype(np.int32)
+
+
+def pmf_to_quantized_cdf_batch(
+    pmf: np.ndarray,
+    pmf_lengths: np.ndarray,
+    precision: int = _DEFAULT_PRECISION,
+    nthreads: int = 8,
+) -> np.ndarray:
+    """Quantize a padded [M, Lmax] pmf matrix; row i uses pmf_lengths[i] entries.
+
+    Returns an int32 [M, Lmax + 2] CDF matrix laid out like the reference's
+    ``_quantized_cdf`` buffers (row i has pmf_lengths[i] + 1 CDF entries
+    covering pmf_lengths[i] symbols incl. the tail slot; zero padded).
+    Reference row construction: entropy_models.py:175-183.
+    """
+    lib = load_library()
+    pmf = _ascontig(pmf, np.float32)
+    m, lmax = pmf.shape
+    pmf_lengths = _ascontig(pmf_lengths, np.int32)
+    out = np.zeros((m, lmax + 2), dtype=np.uint32)
+    rc = lib.epic_pmf_to_quantized_cdf_batch(
+        _f32p(pmf), np.int64(lmax), _i32p(pmf_lengths), np.int32(m),
+        np.int32(precision), _u32p(out), np.int64(out.shape[1]),
+        np.int32(nthreads),
+    )
+    if rc != 0:
+        raise ValueError(f"pmf_to_quantized_cdf_batch failed with code {rc}")
+    return out.astype(np.int32)
+
+
+class RansCoder:
+    """Stateless encoder/decoder over a fixed set of CDF tables.
+
+    ``cdfs`` is an int32 [num_tables, Lmax] matrix of quantized CDFs,
+    ``cdf_lengths`` the per-row entry counts, ``offsets`` the per-row symbol
+    offsets — the exact table triple the reference stores as registered
+    buffers (entropy_models.py:98-101).
+    """
+
+    def __init__(self, cdfs, cdf_lengths, offsets,
+                 precision: int = _DEFAULT_PRECISION, nthreads: int = 16):
+        self.cdfs = _ascontig(cdfs, np.uint32)
+        self.cdf_lengths = _ascontig(cdf_lengths, np.int32)
+        self.offsets = _ascontig(offsets, np.int32)
+        if self.cdfs.ndim != 2:
+            raise ValueError("cdfs must be 2-D [num_tables, max_len]")
+        self.precision = int(precision)
+        self.nthreads = int(nthreads)
+        self._lib = load_library()
+
+    # -- single message ---------------------------------------------------
+
+    def encode_with_indexes(self, symbols, indexes) -> bytes:
+        symbols = _ascontig(symbols, np.int32).ravel()
+        indexes = _ascontig(indexes, np.int32).ravel()
+        if symbols.shape != indexes.shape:
+            raise ValueError("symbols and indexes must have the same size")
+        cap = max(64, symbols.size * 8 + 64)
+        out = np.empty(cap, dtype=np.uint8)
+        n = self._lib.epic_rans_encode(
+            _i32p(symbols), _i32p(indexes), np.int64(symbols.size),
+            _u32p(self.cdfs), np.int64(self.cdfs.shape[1]),
+            _i32p(self.cdf_lengths), _i32p(self.offsets),
+            np.int32(self.precision), _u8p(out), np.int64(cap),
+        )
+        if n < 0:
+            raise RuntimeError("rANS encode output exceeded capacity")
+        return out[:n].tobytes()
+
+    def decode_with_indexes(self, data: bytes, indexes) -> np.ndarray:
+        indexes = _ascontig(indexes, np.int32).ravel()
+        buf = np.frombuffer(data, dtype=np.uint8)
+        buf = _ascontig(buf, np.uint8)
+        out = np.empty(indexes.size, dtype=np.int32)
+        rc = self._lib.epic_rans_decode(
+            _u8p(buf), np.int64(buf.size), _i32p(indexes),
+            np.int64(indexes.size), _u32p(self.cdfs),
+            np.int64(self.cdfs.shape[1]), _i32p(self.cdf_lengths),
+            _i32p(self.offsets), np.int32(self.precision), _i32p(out),
+        )
+        if rc != 0:
+            raise RuntimeError(f"rANS decode failed with code {rc}")
+        return out
+
+    # -- batched ----------------------------------------------------------
+
+    def encode_batch(self, symbols, indexes,
+                     msg_lengths: Sequence[int]) -> list[bytes]:
+        """Encode M messages packed back-to-back in ``symbols``/``indexes``.
+
+        msg_lengths[i] gives message i's symbol count. Runs all messages in
+        parallel on host threads; one C call total.
+        """
+        symbols = _ascontig(symbols, np.int32).ravel()
+        indexes = _ascontig(indexes, np.int32).ravel()
+        lengths = _ascontig(msg_lengths, np.int64).ravel()
+        m = lengths.size
+        offs = np.zeros(m, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offs[1:])
+        if offs[-1] + lengths[-1] != symbols.size:
+            raise ValueError("msg_lengths do not cover the symbols buffer")
+        cap = int(max(64, int(lengths.max()) * 8 + 64))
+        out = np.empty(m * cap, dtype=np.uint8)
+        out_lengths = np.empty(m, dtype=np.int64)
+        rc = self._lib.epic_rans_encode_batch(
+            _i32p(symbols), _i32p(indexes), _i64p(offs), _i64p(lengths),
+            np.int32(m), _u32p(self.cdfs), np.int64(self.cdfs.shape[1]),
+            _i32p(self.cdf_lengths), _i32p(self.offsets),
+            np.int32(self.precision), _u8p(out), np.int64(cap),
+            _i64p(out_lengths), np.int32(self.nthreads),
+        )
+        if rc != 0:
+            raise RuntimeError("batched rANS encode failed")
+        return [
+            out[i * cap:i * cap + int(out_lengths[i])].tobytes()
+            for i in range(m)
+        ]
+
+    def decode_batch(self, datas: Sequence[bytes], indexes,
+                     msg_lengths: Sequence[int]) -> np.ndarray:
+        """Decode M messages; returns one packed int32 symbol buffer."""
+        indexes = _ascontig(indexes, np.int32).ravel()
+        lengths = _ascontig(msg_lengths, np.int64).ravel()
+        m = lengths.size
+        if len(datas) != m:
+            raise ValueError("need one bytestring per message")
+        offs = np.zeros(m, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offs[1:])
+        data_lengths = np.array([len(d) for d in datas], dtype=np.int64)
+        data_offsets = np.zeros(m, dtype=np.int64)
+        np.cumsum(data_lengths[:-1], out=data_offsets[1:])
+        blob = np.frombuffer(b"".join(datas), dtype=np.uint8)
+        blob = _ascontig(blob, np.uint8)
+        out = np.empty(int(lengths.sum()), dtype=np.int32)
+        rc = self._lib.epic_rans_decode_batch(
+            _u8p(blob), _i64p(data_offsets), _i64p(data_lengths),
+            _i32p(indexes), _i64p(offs), _i64p(lengths), np.int32(m),
+            _u32p(self.cdfs), np.int64(self.cdfs.shape[1]),
+            _i32p(self.cdf_lengths), _i32p(self.offsets),
+            np.int32(self.precision), _i32p(out), np.int32(self.nthreads),
+        )
+        if rc != 0:
+            raise RuntimeError(f"batched rANS decode failed with code {rc}")
+        return out

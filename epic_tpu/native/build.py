@@ -1,0 +1,96 @@
+"""Build + load the native rANS library.
+
+Compiles ``epic_rans.cpp`` with g++ on first import and caches the shared
+object next to the source, keyed by a hash of the source text so edits
+trigger a rebuild. ctypes is used for binding (see SURVEY.md §2.4: the
+reference relies on CompressAI's pybind11 C++ backend; ours is a fresh
+TPU-VM-host implementation).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sysconfig
+import threading
+
+_SRC = os.path.join(os.path.dirname(__file__), "epic_rans.cpp")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+
+
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "EPIC_TPU_NATIVE_CACHE", os.path.join(os.path.dirname(_SRC), "_build")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"libepic_rans_{digest}.so")
+
+
+def _compile(path: str) -> None:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-march=native", "-pthread",
+        _SRC, "-o", path + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    os.replace(path + ".tmp", path)
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    c = ctypes
+    i32p, u32p, i64p, u8p, f32p = (
+        c.POINTER(c.c_int32), c.POINTER(c.c_uint32), c.POINTER(c.c_int64),
+        c.POINTER(c.c_uint8), c.POINTER(c.c_float),
+    )
+    lib.epic_pmf_to_quantized_cdf.restype = c.c_int32
+    lib.epic_pmf_to_quantized_cdf.argtypes = [f32p, c.c_int32, c.c_int32, u32p]
+
+    lib.epic_pmf_to_quantized_cdf_batch.restype = c.c_int32
+    lib.epic_pmf_to_quantized_cdf_batch.argtypes = [
+        f32p, c.c_int64, i32p, c.c_int32, c.c_int32, u32p, c.c_int64, c.c_int32,
+    ]
+
+    lib.epic_rans_encode.restype = c.c_int64
+    lib.epic_rans_encode.argtypes = [
+        i32p, i32p, c.c_int64, u32p, c.c_int64, i32p, i32p, c.c_int32,
+        u8p, c.c_int64,
+    ]
+
+    lib.epic_rans_decode.restype = c.c_int32
+    lib.epic_rans_decode.argtypes = [
+        u8p, c.c_int64, i32p, c.c_int64, u32p, c.c_int64, i32p, i32p,
+        c.c_int32, i32p,
+    ]
+
+    lib.epic_rans_encode_batch.restype = c.c_int32
+    lib.epic_rans_encode_batch.argtypes = [
+        i32p, i32p, i64p, i64p, c.c_int32, u32p, c.c_int64, i32p, i32p,
+        c.c_int32, u8p, c.c_int64, i64p, c.c_int32,
+    ]
+
+    lib.epic_rans_decode_batch.restype = c.c_int32
+    lib.epic_rans_decode_batch.argtypes = [
+        u8p, i64p, i64p, i32p, i64p, i64p, c.c_int32, u32p, c.c_int64,
+        i32p, i32p, c.c_int32, i32p, c.c_int32,
+    ]
+
+
+def load_library() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        path = _lib_path()
+        if not os.path.exists(path):
+            _compile(path)
+        lib = ctypes.CDLL(path)
+        _declare(lib)
+        _LIB = lib
+        return lib

@@ -1,0 +1,131 @@
+"""Unit tests for the native rANS coder and CDF quantizer.
+
+Reference semantics under test: round-trip bit-exactness of
+encode_with_indexes/decode_with_indexes over CompressAI-layout CDF tables
+(reference: entropy_models.py:206-294), incl. escape/bypass coding of
+out-of-range symbols, and near-Shannon coding efficiency.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from epic_tpu.entropy.coder import (
+    RansCoder,
+    pmf_to_quantized_cdf,
+    pmf_to_quantized_cdf_batch,
+)
+
+
+def gauss_pmf(scale, length):
+    xs = np.arange(length) - length // 2
+    p = np.exp(-0.5 * (xs / scale) ** 2)
+    return p / p.sum()
+
+
+@pytest.fixture(scope="module")
+def coder():
+    tables, lengths, offsets, max_len = [], [], [], 0
+    for scale in [0.11, 0.5, 1.0, 3.0, 8.0, 20.0]:
+        L = int(np.ceil(scale * 12)) * 2 + 1
+        full = np.concatenate(
+            [gauss_pmf(scale, L) * (1 - 1e-9), [1e-9]]).astype(np.float32)
+        cdf = pmf_to_quantized_cdf(full, 16)
+        tables.append(cdf)
+        lengths.append(len(cdf))
+        offsets.append(-(L // 2))
+        max_len = max(max_len, len(cdf))
+    cdfs = np.zeros((len(tables), max_len), dtype=np.int32)
+    for i, t in enumerate(tables):
+        cdfs[i, :len(t)] = t
+    return RansCoder(cdfs, lengths, offsets)
+
+
+class TestPmfToQuantizedCdf:
+    def test_total_mass_and_monotonicity(self):
+        pmf = gauss_pmf(2.0, 17).astype(np.float32)
+        cdf = pmf_to_quantized_cdf(pmf, 16)
+        assert cdf[0] == 0
+        assert cdf[-1] == 1 << 16
+        assert np.all(np.diff(cdf) >= 1)  # every symbol gets freq >= 1
+
+    def test_tiny_probabilities_get_nonzero_freq(self):
+        pmf = np.array([0.999, 1e-12, 1e-12, 1e-12], np.float32)
+        cdf = pmf_to_quantized_cdf(pmf, 16)
+        assert np.all(np.diff(cdf) >= 1)
+        assert cdf[-1] == 1 << 16
+
+    def test_degenerate_pmf_uniform_fallback(self):
+        pmf = np.zeros(7, np.float32)
+        cdf = pmf_to_quantized_cdf(pmf, 16)
+        assert cdf[-1] == 1 << 16
+        assert np.all(np.diff(cdf) >= 1)
+
+    def test_batch_matches_single(self):
+        pmfs = np.zeros((3, 20), np.float32)
+        lengths = np.array([5, 11, 20], np.int32)
+        for i, L in enumerate(lengths):
+            pmfs[i, :L] = gauss_pmf(2.0, L)
+        batch = pmf_to_quantized_cdf_batch(pmfs, lengths)
+        for i, L in enumerate(lengths):
+            single = pmf_to_quantized_cdf(pmfs[i, :L], 16)
+            np.testing.assert_array_equal(batch[i, :L + 1], single)
+
+
+class TestRansRoundTrip:
+    def test_in_range_symbols(self, coder):
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, 6, 20000).astype(np.int32)
+        scales = np.array([0.11, 0.5, 1.0, 3.0, 8.0, 20.0])[idx]
+        sym = np.round(rng.normal(0, scales)).astype(np.int32)
+        blob = coder.encode_with_indexes(sym, idx)
+        np.testing.assert_array_equal(coder.decode_with_indexes(blob, idx), sym)
+
+    def test_escape_bypass_extreme_symbols(self, coder):
+        idx = np.zeros(8, np.int32)
+        sym = np.array(
+            [10**6, -(10**6), 2**30, -(2**30), 0, -1, 999, -999], np.int32)
+        blob = coder.encode_with_indexes(sym, idx)
+        np.testing.assert_array_equal(coder.decode_with_indexes(blob, idx), sym)
+
+    def test_single_symbol_message(self, coder):
+        blob = coder.encode_with_indexes([3], [2])
+        np.testing.assert_array_equal(coder.decode_with_indexes(blob, [2]), [3])
+
+    def test_all_masked_zero_symbols(self, coder):
+        # The progressive codec encodes all-zero shells for untransmitted
+        # elements at the minimum scale (0.11); they must cost ~0 bits and
+        # round-trip.
+        sym = np.zeros(50000, np.int32)
+        idx = np.zeros(50000, np.int32)  # table 0 = scale 0.11
+        blob = coder.encode_with_indexes(sym, idx)
+        assert len(blob) < 200  # ~0 bits/symbol for near-certain symbols
+        np.testing.assert_array_equal(coder.decode_with_indexes(blob, idx), sym)
+
+    def test_batch_matches_singles(self, coder):
+        rng = np.random.default_rng(3)
+        idx = rng.integers(0, 6, 9000).astype(np.int32)
+        sym = np.round(rng.normal(0, 2, 9000)).astype(np.int32)
+        lengths = [2000, 3000, 4000]
+        blobs = coder.encode_batch(sym, idx, lengths)
+        start = 0
+        for blob, n in zip(blobs, lengths):
+            single = coder.encode_with_indexes(
+                sym[start:start + n], idx[start:start + n])
+            assert blob == single
+            start += n
+        dec = coder.decode_batch(blobs, idx, lengths)
+        np.testing.assert_array_equal(dec, sym)
+
+    def test_coding_efficiency_near_entropy(self, coder):
+        rng = np.random.default_rng(7)
+        L = 37
+        sym = np.clip(
+            np.round(rng.normal(0, 3.0, 200000)), -(L // 2), L // 2
+        ).astype(np.int32)
+        idx = np.full(sym.size, 3, np.int32)  # table 3 = scale 3.0
+        blob = coder.encode_with_indexes(sym, idx)
+        h = -sum(p * math.log2(p) for p in gauss_pmf(3.0, L) if p > 0)
+        measured = len(blob) * 8 / sym.size
+        assert measured < h * 1.02 + 0.02  # within 2% of Shannon
