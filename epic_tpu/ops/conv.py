@@ -1,0 +1,59 @@
+"""Convolution helpers (NHWC).
+
+Shape behavior matches the reference's helpers (src/layers/layers.py:5-26,
+82-87): stride-2 k=5 convs halve spatial dims exactly, transposed convs
+double them, subpel conv = 3x3 conv + pixel shuffle. Weight layout and edge
+phase follow JAX conventions — this framework trains its own checkpoints.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def conv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.Conv:
+    """k x k conv with PyTorch-style p = k//2 padding (out = ceil(in/s))."""
+    p = kernel_size // 2
+    return nn.Conv(
+        features,
+        (kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=[(p, p), (p, p)],
+    )
+
+
+def deconv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.ConvTranspose:
+    """Transposed conv that exactly multiplies spatial dims by `stride`."""
+    return nn.ConvTranspose(
+        features,
+        (kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding="SAME",
+    )
+
+
+def conv1x1(features: int, stride: int = 1) -> nn.Conv:
+    return nn.Conv(features, (1, 1), strides=(stride, stride), padding="VALID")
+
+
+def conv3x3(features: int, stride: int = 1) -> nn.Conv:
+    return nn.Conv(features, (3, 3), strides=(stride, stride),
+                   padding=[(1, 1), (1, 1)])
+
+
+class SubpelConv(nn.Module):
+    """3x3 conv to features*r^2 channels + depth-to-space upsampling."""
+
+    features: int
+    r: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        r = self.r
+        y = conv3x3(self.features * r * r)(x)
+        # depth_to_space: [B,H,W,C*r^2] -> [B,H*r,W*r,C]
+        y = y.reshape(b, h, w, r, r, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, h * r, w * r, self.features)
