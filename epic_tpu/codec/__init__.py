@@ -1,0 +1,14 @@
+"""Real-codec paths: host-orchestrated rANS compress/decompress and the
+progressive single-bitstream pipeline."""
+
+from .pic_codec import PICCodec
+from .progressive import progressive_encode, progressive_decode
+from .container import dump_bitstreams, load_bitstreams
+
+__all__ = [
+    "PICCodec",
+    "progressive_encode",
+    "progressive_decode",
+    "dump_bitstreams",
+    "load_bitstreams",
+]

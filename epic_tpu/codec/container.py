@@ -1,0 +1,84 @@
+"""Versioned binary bitstream container.
+
+Replaces the reference's pickle dump (functions_encode.py:58-62) with a
+self-describing format: magic + version + JSON header (shapes, quality
+ladder, per-message byte counts) followed by the concatenated rANS blobs.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Dict
+
+_MAGIC = b"EPICTPU1"
+
+
+def _collect(tree):
+    """Flatten nested lists of bytes -> (spec, blobs)."""
+    if isinstance(tree, (bytes, bytearray)):
+        return {"t": "b", "n": len(tree)}, [bytes(tree)]
+    if isinstance(tree, list):
+        specs, blobs = [], []
+        for item in tree:
+            s, b = _collect(item)
+            specs.append(s)
+            blobs.extend(b)
+        return {"t": "l", "items": specs}, blobs
+    raise TypeError(f"unsupported bitstream leaf {type(tree)}")
+
+
+def _rebuild(spec, blobs, pos):
+    if spec["t"] == "b":
+        blob = blobs[pos[0]]
+        pos[0] += 1
+        return blob
+    return [_rebuild(s, blobs, pos) for s in spec["items"]]
+
+
+def dump_bitstreams(bs: Dict[str, Any]) -> bytes:
+    """bs: {"q_list": [...], "shape": (h,w), "z": [bytes], "base":
+    [[bytes]], "progressive": [[bytes]]} -> container bytes."""
+    header: Dict[str, Any] = {"q_list": list(bs["q_list"]),
+                              "shape": list(bs["shape"])}
+    blobs: list[bytes] = []
+    for key in ("z", "base", "progressive"):
+        spec, bl = _collect(bs[key])
+        header[key] = spec
+        blobs.append(b"")  # alignment sentinel unused; keep blobs flat
+        blobs.pop()
+        header[key + "_count"] = len(bl)
+        blobs.extend(bl)
+    hdr = json.dumps(header).encode()
+    payload = b"".join(blobs)
+    return _MAGIC + struct.pack("<I", len(hdr)) + hdr + payload
+
+
+def load_bitstreams(data: bytes) -> Dict[str, Any]:
+    if data[:8] != _MAGIC:
+        raise ValueError("not an epic_tpu bitstream")
+    (hlen,) = struct.unpack("<I", data[8:12])
+    header = json.loads(data[12:12 + hlen])
+    body = data[12 + hlen:]
+
+    def sizes(spec):
+        if spec["t"] == "b":
+            return [spec["n"]]
+        out = []
+        for s in spec["items"]:
+            out.extend(sizes(s))
+        return out
+
+    all_sizes = []
+    for key in ("z", "base", "progressive"):
+        all_sizes.extend(sizes(header[key]))
+    blobs, off = [], 0
+    for n in all_sizes:
+        blobs.append(body[off:off + n])
+        off += n
+    out: Dict[str, Any] = {"q_list": header["q_list"],
+                           "shape": tuple(header["shape"])}
+    pos = [0]
+    for key in ("z", "base", "progressive"):
+        out[key] = _rebuild(header[key], blobs, pos)
+    return out

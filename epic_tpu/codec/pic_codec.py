@@ -1,0 +1,390 @@
+"""Host-orchestrated real codec for VarianceMaskingPIC.
+
+Reference behavior: pic.py compress (671-833) / decompress (838-967), but
+with the TPU-native device<->host choreography from SURVEY.md §2.4/§3E:
+
+* The encoder SIMULATES the decoder: every entropy-parameter computation is
+  a jitted program shared verbatim between compress and decompress, so the
+  decoder-side variance masks and CDF indexes are bitwise identical to the
+  encoder's (the mask is never transmitted).
+* Symbols/indexes cross to the host as packed int32 numpy buffers — one
+  transfer per stage, batched across slices x batch items — and the C++
+  rANS coder runs all messages on parallel host threads. The reference
+  instead marshals Python lists per slice per image
+  (entropy_models.py:231-239).
+* Only the 10 base slices are inherently interleaved (decoded content feeds
+  the next slice's parameters). The progressive stage is quality-independent
+  given the base latent (all_scalable), so its parameters are computed in
+  ONE device program, decoded in ONE batched host call, and reconstructed in
+  ONE device program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.bottleneck import EntropyBottleneck, build_bottleneck_cdf_tables
+from ..entropy.coder import RansCoder
+from ..entropy.gaussian import GaussianConditional, build_indexes
+from ..models.pic import VarianceMaskingPIC
+from ..ops import variance_mask
+
+
+class PICCodec:
+    """Binds (model, variables) to entropy-coding state + jitted programs."""
+
+    def __init__(self, model: VarianceMaskingPIC, variables,
+                 nthreads: int = 16):
+        self.model = model
+        self.variables = variables
+        self.gaussian = GaussianConditional().update()
+        self.y_coder = self.gaussian.coder(nthreads)
+        self._scale_table = jnp.asarray(self.gaussian.scale_table)
+        self.update()
+        self._jit_cache: Dict[Any, Any] = {}
+
+    def update(self, force: bool = False):
+        """(Re)build entropy tables from the current variables
+        (reference: pic.py:230-237 + base.py:41-60)."""
+        eb = EntropyBottleneck(self.model.n)
+        zvars = {"params": self.variables["params"]["entropy_bottleneck"]}
+        self.z_tables, self.z_medians = build_bottleneck_cdf_tables(eb, zvars)
+        self.z_coder = RansCoder(self.z_tables.quantized_cdf,
+                                 self.z_tables.cdf_length,
+                                 self.z_tables.offset)
+        self._z_med_dev = jnp.asarray(self.z_medians)
+
+    # ------------------------------------------------------------------
+    # jitted programs (all shared between compress and decompress)
+    # ------------------------------------------------------------------
+
+    def _prog(self, key, make):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(make())
+        return self._jit_cache[key]
+
+    def _p_front(self):
+        def make():
+            def f(v, x, z_med):
+                y = self.model.apply(v, x,
+                                     method=VarianceMaskingPIC.latent)
+                z = self.model.apply(v, y,
+                                     method=VarianceMaskingPIC.hyper_analysis)
+                z_sym = jnp.round(z - z_med).astype(jnp.int32)
+                return y, z_sym
+            return f
+        return self._prog("front", make)
+
+    def _p_zhat_hyper(self, base_only: bool):
+        def make():
+            method = (VarianceMaskingPIC.hyper_synthesis_base if base_only
+                      else VarianceMaskingPIC.hyper_synthesis)
+
+            def f(v, z_sym, z_med):
+                z_hat = z_sym.astype(jnp.float32) + z_med
+                lm, ls = self.model.apply(v, z_hat, method=method)
+                return lm, ls
+            return f
+        return self._prog(("hyper", base_only), make)
+
+    def _p_base_params(self, i: int):
+        def make():
+            def f(v, lm, ls, support):
+                mu, scale, msup = self.model.apply(
+                    v, lm, ls, list(support), i,
+                    method=VarianceMaskingPIC.base_slice_params)
+                idx = build_indexes(scale, self._scale_table,
+                                    self.model.scale_bound)
+                return mu, scale, idx, msup
+            return f
+        return self._prog(("base_params", i), make)
+
+    def _p_base_sym(self):
+        def make():
+            def f(y_i, mu):
+                return jnp.round(y_i - mu).astype(jnp.int32)
+            return f
+        return self._prog("base_sym", make)
+
+    def _p_base_finish(self, i: int):
+        def make():
+            def f(v, sym, mu, msup):
+                y_hat = sym.astype(jnp.float32) + mu
+                return self.model.apply(
+                    v, y_hat, msup, i,
+                    method=VarianceMaskingPIC.finish_base_slice)
+            return f
+        return self._prog(("base_finish", i), make)
+
+    def _p_synth_base(self):
+        def make():
+            def f(v, slices):
+                y = jnp.concatenate(list(slices), axis=-1)
+                x = self.model.apply(
+                    v, y, method=VarianceMaskingPIC.synthesize_base)
+                return jnp.clip(x, 0.0, 1.0), y
+            return f
+        return self._prog("synth_base", make)
+
+    def _p_prog_params(self, quality_key, with_ckpt: bool = False):
+        """Progressive entropy params + masked indexes at one quality.
+        quality_key: float (static). Returns everything decode needs before
+        touching the bitstream. With a checkpoint latent (REM models), the
+        per-slice (mu, scale) used for masking/coding are REM-refined while
+        the support chain stays unrefined (rem_pic.py:560-581)."""
+        def make():
+            q = quality_key
+
+            def f(v, y_hat_base_slices, lm, ls, ckpt=None,
+                  mu_b=None, std_b=None):
+                mus, muts, scales, msups = [], [], [], []
+                lm_e = lm[..., self.model.division[0]:]
+                ls_e = ls[..., self.model.division[0]:]
+                for i in range(self.model.ns1 - self.model.ns0):
+                    mu, mut, scale, msup = self.model.apply(
+                        v, lm_e, ls_e, y_hat_base_slices[i], muts, scales, i,
+                        method=VarianceMaskingPIC.prog_slice_params)
+                    muts.append(mut)
+                    msups.append(msup)
+                    if with_ckpt:
+                        mu_c, scale_c = self.model.apply(
+                            v, i, q, mu, scale, ckpt, mu_b[i], std_b[i],
+                            method=type(self.model)._refine_prog_params)
+                        scales.append(scale)  # support uses unrefined
+                        mus.append(mu_c)
+                        # masking/coding uses refined scale
+                        scale = scale_c
+                    else:
+                        scales.append(scale)
+                        mus.append(mu)
+                        scale_c = scale
+                    if i == 0:
+                        coding_scales = []
+                    coding_scales.append(scale_c)
+                mu_s = jnp.stack(mus)          # [S,B,h,w,c]
+                scale_s = jnp.stack(coding_scales)
+                mask = jnp.stack([
+                    variance_mask(s, q, self.model.mask_policy)
+                    for s in coding_scales])
+                idx = build_indexes(scale_s * mask, self._scale_table,
+                                    self.model.scale_bound)
+                return mu_s, scale_s, mask, idx, tuple(msups)
+            return f
+        return self._prog(("prog_params", quality_key, with_ckpt), make)
+
+    def _p_prog_sym(self):
+        def make():
+            def f(y, mu_s, mask):
+                # residual slices [S,B,h,w,c]
+                ns0, c = self.model.ns0, self.model.dim_chunk
+                r = []
+                for i in range(self.model.ns1 - self.model.ns0):
+                    r_i = y[..., (ns0 + i) * c:(ns0 + i + 1) * c]
+                    if self.model.delta_encode:
+                        r_i = r_i - y[..., i * c:(i + 1) * c]
+                    r.append(r_i)
+                r = jnp.stack(r)
+                return jnp.round((r - mu_s) * mask).astype(jnp.int32)
+            return f
+        return self._prog("prog_sym", make)
+
+    def _p_prog_reconstruct(self):
+        def make():
+            def f(v, sym_s, mu_s, msups, y_hat_base_slices):
+                slices = []
+                for i in range(self.model.ns1 - self.model.ns0):
+                    y_hat = sym_s[i].astype(jnp.float32) + mu_s[i]
+                    y_hat = self.model.apply(
+                        v, y_hat, msups[i], y_hat_base_slices[i], i,
+                        method=VarianceMaskingPIC.finish_prog_slice)
+                    slices.append(y_hat)
+                y_prog = jnp.concatenate(slices, axis=-1)
+                x = self.model.apply(
+                    v, y_prog, method=VarianceMaskingPIC.synthesize_prog)
+                return jnp.clip(x, 0.0, 1.0), y_prog
+            return f
+        return self._prog("prog_reconstruct", make)
+
+    # ------------------------------------------------------------------
+    # z coding
+    # ------------------------------------------------------------------
+
+    def _z_indexes(self, shape) -> np.ndarray:
+        b, h, w, c = shape
+        return np.ascontiguousarray(np.broadcast_to(
+            np.arange(c, dtype=np.int32), (b, h, w, c)))
+
+    def _encode_z(self, z_sym: np.ndarray) -> List[bytes]:
+        b = z_sym.shape[0]
+        idx = self._z_indexes(z_sym.shape)
+        per = z_sym[0].size
+        return self.z_coder.encode_batch(z_sym.reshape(-1), idx.reshape(-1),
+                                         [per] * b)
+
+    def _decode_z(self, strings: Sequence[bytes], spatial, n) -> np.ndarray:
+        b = len(strings)
+        h, w = spatial
+        idx = self._z_indexes((b, h, w, n))
+        per = h * w * n
+        sym = self.z_coder.decode_batch(strings, idx.reshape(-1), [per] * b)
+        return sym.reshape(b, h, w, n)
+
+    # ------------------------------------------------------------------
+    # y coding helpers (slice batches)
+    # ------------------------------------------------------------------
+
+    def _encode_slice(self, sym: np.ndarray, idx: np.ndarray) -> List[bytes]:
+        """One slice, B messages (one per batch item) — matches the
+        reference's per-image strings (entropy_models.py:231-239)."""
+        b = sym.shape[0]
+        per = sym[0].size
+        return self.y_coder.encode_batch(sym.reshape(-1), idx.reshape(-1),
+                                         [per] * b)
+
+    def _decode_slice(self, strings: Sequence[bytes],
+                      idx: np.ndarray) -> np.ndarray:
+        b = idx.shape[0]
+        per = idx[0].size
+        sym = self.y_coder.decode_batch(strings, idx.reshape(-1), [per] * b)
+        return sym.reshape(idx.shape)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def compress(self, x, quality: float = 0.0,
+                 return_latents: bool = False,
+                 checkpoint_rep=None) -> Dict[str, Any]:
+        """x: [B,H,W,3] float in [0,1], H,W % 64 == 0. Returns the
+        bitstream dict (strings layout mirrors reference pic.py:756,833)."""
+        v = self.variables
+        x = jnp.asarray(x)
+        y, z_sym_dev = self._p_front()(v, x, self._z_med_dev)
+        z_sym = np.asarray(jax.device_get(z_sym_dev))
+        z_strings = self._encode_z(z_sym)
+        z_shape = z_sym.shape[1:3]
+
+        lm, ls = self._p_zhat_hyper(False)(v, z_sym_dev, self._z_med_dev)
+        lm_b = lm[..., :self.model.division[0]]
+        ls_b = ls[..., :self.model.division[0]]
+
+        # --- base chain: encoder simulates decoder ---
+        y_strings: List[List[bytes]] = []
+        y_hat_slices: List[jnp.ndarray] = []
+        mus_b, scales_b = [], []
+        sym_host, idx_host = [], []
+        c = self.model.dim_chunk
+        for i in range(self.model.ns0):
+            mu, scale, idx, msup = self._p_base_params(i)(
+                v, lm_b, ls_b, tuple(y_hat_slices))
+            y_i = y[..., i * c:(i + 1) * c]
+            sym = self._p_base_sym()(y_i, mu)
+            y_hat = self._p_base_finish(i)(v, sym, mu, msup)
+            y_hat_slices.append(y_hat)
+            mus_b.append(mu)
+            scales_b.append(scale)
+            sym_host.append(sym)
+            idx_host.append(idx)
+        # one transfer for all 10 slices' symbols+indexes, then one batched
+        # host encode over ns0*B messages
+        sym_np = np.asarray(jax.device_get(jnp.stack(sym_host)))
+        idx_np = np.asarray(jax.device_get(jnp.stack(idx_host)))
+        for i in range(self.model.ns0):
+            y_strings.append(self._encode_slice(sym_np[i], idx_np[i]))
+
+        out: Dict[str, Any] = {
+            "strings": [y_strings, z_strings],
+            "shape": tuple(int(s) for s in z_shape),
+            "quality": float(quality),
+        }
+        if quality <= 0:
+            if return_latents:
+                out["mean_base"] = jnp.concatenate(mus_b, axis=-1)
+                out["scale_base"] = jnp.concatenate(scales_b, axis=-1)
+                out["y_hat_base"] = jnp.concatenate(y_hat_slices, axis=-1)
+            return out
+
+        # --- progressive stage: one params program + one host encode ---
+        if checkpoint_rep is not None:
+            mu_s, scale_s, mask, idx, msups = self._p_prog_params(
+                float(quality), True)(
+                v, tuple(y_hat_slices), lm, ls, jnp.asarray(checkpoint_rep),
+                tuple(mus_b), tuple(scales_b))
+        else:
+            mu_s, scale_s, mask, idx, msups = self._p_prog_params(
+                float(quality))(v, tuple(y_hat_slices), lm, ls)
+        sym_s = self._p_prog_sym()(y, mu_s, mask)
+        sym_np = np.asarray(jax.device_get(sym_s))
+        idx_np = np.asarray(jax.device_get(idx))
+        for i in range(self.model.ns1 - self.model.ns0):
+            y_strings.append(self._encode_slice(sym_np[i], idx_np[i]))
+
+        if return_latents:
+            x_hat, y_prog = self._p_prog_reconstruct()(
+                v, sym_s, mu_s, msups, tuple(y_hat_slices))
+            out["y_hat"] = y_prog
+        return out
+
+    def extract_checkpoint(self, x, quality: float,
+                           checkpoint_rep=None):
+        """Decoded latent at a checkpoint quality, for REM conditioning
+        (reference ExtractChekpointRepr, rem_pic.py:121-132). Chained
+        checkpoints pass the previous one as checkpoint_rep."""
+        out = self.compress(x, quality=quality, return_latents=True,
+                            checkpoint_rep=checkpoint_rep)
+        return out["y_hat"] if quality > 0 else out["y_hat_base"]
+
+    def decompress(self, bitstream: Dict[str, Any],
+                   quality: Optional[float] = None,
+                   checkpoint_rep=None) -> Dict[str, Any]:
+        """Mirror of compress (reference: pic.py:838-967)."""
+        v = self.variables
+        quality = bitstream["quality"] if quality is None else quality
+        y_strings, z_strings = bitstream["strings"]
+        z_shape = bitstream["shape"]
+
+        z_sym = self._decode_z(z_strings, z_shape, self.model.n)
+        z_sym_dev = jnp.asarray(z_sym)
+        lm, ls = self._p_zhat_hyper(False)(v, z_sym_dev, self._z_med_dev)
+        lm_b = lm[..., :self.model.division[0]]
+        ls_b = ls[..., :self.model.division[0]]
+
+        y_hat_slices: List[jnp.ndarray] = []
+        mus_b, scales_b = [], []
+        for i in range(self.model.ns0):
+            mu, scale, idx, msup = self._p_base_params(i)(
+                v, lm_b, ls_b, tuple(y_hat_slices))
+            idx_np = np.asarray(jax.device_get(idx))
+            sym = self._decode_slice(y_strings[i], idx_np)
+            y_hat = self._p_base_finish(i)(v, jnp.asarray(sym), mu, msup)
+            y_hat_slices.append(y_hat)
+            mus_b.append(mu)
+            scales_b.append(scale)
+
+        if quality <= 0:
+            x_hat, y_hat_b = self._p_synth_base()(v, tuple(y_hat_slices))
+            return {"x_hat": x_hat, "y_hat": y_hat_b}
+
+        if checkpoint_rep is not None:
+            mu_s, scale_s, mask, idx, msups = self._p_prog_params(
+                float(quality), True)(
+                v, tuple(y_hat_slices), lm, ls, jnp.asarray(checkpoint_rep),
+                tuple(mus_b), tuple(scales_b))
+        else:
+            mu_s, scale_s, mask, idx, msups = self._p_prog_params(
+                float(quality))(v, tuple(y_hat_slices), lm, ls)
+        idx_np = np.asarray(jax.device_get(idx))
+        ns0 = self.model.ns0
+        sym_list = [
+            self._decode_slice(y_strings[ns0 + i], idx_np[i])
+            for i in range(self.model.ns1 - ns0)
+        ]
+        sym_s = jnp.asarray(np.stack(sym_list))
+        x_hat, y_prog = self._p_prog_reconstruct()(
+            v, sym_s, mu_s, msups, tuple(y_hat_slices))
+        return {"x_hat": x_hat, "y_hat": y_prog}

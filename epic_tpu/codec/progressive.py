@@ -1,0 +1,182 @@
+"""Progressive single-bitstream codec.
+
+Reference behavior: src/test/functions_encode.py / functions_decode.py —
+encode once into a base stream plus incremental "delta shells" (the elements
+newly admitted by the variance mask between consecutive quality levels);
+decode any prefix of shells, caching the hyperprior and entropy-parameter
+work across quality levels.
+
+TPU-native structure: residual symbols, CDF indexes, and ALL shell masks for
+the whole quality ladder come out of two jitted device programs and cross to
+the host once; shell selection/accumulation is numpy on the host; the final
+reconstruction (mean replacement + LRP + merge + g_s) is one device program
+shared with the random-access codec (PICCodec._p_prog_reconstruct).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import prog_mask
+from .pic_codec import PICCodec
+
+DEFAULT_Q_LIST = [0.01, 0.05, 0.1, 0.25, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0,
+                  2.0, 3.0, 4.0, 4.5, 10.0]
+
+
+def _p_shell_masks(codec: PICCodec, q_list_key):
+    """Jitted: stacked per-level delta-shell masks [Q,S,B,h,w,c] plus the
+    unmasked indexes (reference: functions_encode.py:172-196)."""
+    def make():
+        q_list = list(q_list_key)
+
+        def f(scale_s):
+            masks = [prog_mask(scale_s, q) for q in q_list]
+            deltas = [masks[0]]
+            for j in range(1, len(masks)):
+                deltas.append(masks[j] - masks[j - 1])
+            return jnp.stack(deltas)
+        return f
+    return codec._prog(("shell_masks", q_list_key), make)
+
+
+def progressive_encode(codec: PICCodec, x,
+                       q_list: Optional[Sequence[float]] = None,
+                       rems: bool = False,
+                       y_checkpoints=None) -> tuple[Dict[str, Any], list]:
+    """Encode x into {z, base, progressive-shells}. Returns
+    (bitstreams, [bits_z, bits_base, [per-shell bits]]) like the reference
+    encode (functions_encode.py:15-64)."""
+    q_list = list(q_list if q_list is not None else DEFAULT_Q_LIST)
+    v = codec.variables
+
+    out_base = codec.compress(x, quality=0, return_latents=True)
+    y_strings, z_strings = out_base["strings"]
+
+    # recompute the device-side context (front + full hyper + prog params)
+    xj = jnp.asarray(x)
+    y, z_sym_dev = codec._p_front()(v, xj, codec._z_med_dev)
+    lm, ls = codec._p_zhat_hyper(False)(v, z_sym_dev, codec._z_med_dev)
+    y_hat_base = out_base["y_hat_base"]
+    c = codec.model.dim_chunk
+    base_slices = tuple(
+        y_hat_base[..., i * c:(i + 1) * c] for i in range(codec.model.ns0))
+
+    # quality-independent entropy params; q=10 -> all-ones mask, unmasked
+    # indexes (functions_encode.py:153-158 quantizes everything once)
+    mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(10.0)(
+        v, base_slices, lm, ls)
+    sym_full = codec._p_prog_sym()(y, mu_s, mask1)
+
+    if rems and y_checkpoints:
+        raise NotImplementedError(
+            "REM-refined progressive encoding lands with the REM model")
+
+    deltas = _p_shell_masks(codec, tuple(q_list))(scale_s)
+
+    sym_np = np.asarray(jax.device_get(sym_full))      # [S,B,h,w,c]
+    idx_np = np.asarray(jax.device_get(idx_full))
+    deltas_np = np.asarray(jax.device_get(deltas)).astype(np.int32)
+
+    b = sym_np.shape[1]
+    shells: List[List[bytes]] = []
+    bits_prog: List[float] = []
+    for j in range(len(q_list)):
+        d = deltas_np[j]
+        sym_j = (sym_np * d).transpose(1, 0, 2, 3, 4)   # [B,S,h,w,c]
+        idx_j = (idx_np * d).transpose(1, 0, 2, 3, 4)
+        per = sym_j[0].size
+        blobs = codec.y_coder.encode_batch(
+            sym_j.reshape(-1), idx_j.reshape(-1), [per] * b)
+        shells.append(blobs)
+        bits_prog.append(sum(len(bl) for bl in blobs) * 8.0)
+
+    bitstreams = {
+        "q_list": q_list,
+        "shape": out_base["shape"],
+        "z": z_strings,
+        "base": y_strings,
+        "progressive": shells,
+    }
+    bits_z = sum(len(s) for s in z_strings) * 8.0
+    bits_base = sum(len(s) for sl in y_strings for s in sl) * 8.0
+    return bitstreams, [bits_z, bits_base, bits_prog]
+
+
+def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
+                       q_ind: int = 0,
+                       cache: Optional[Dict[str, Any]] = None,
+                       rems: bool = False,
+                       y_checkpoints=None) -> Dict[str, Any]:
+    """Decode the first q_ind shells (0 = base only). `cache` carries
+    z/base/entropy-parameter state across calls (reference: functions_
+    decode.py:58-229 with its z_data/entropy_data caching)."""
+    v = codec.variables
+    q_list = bitstreams["q_list"]
+    assert q_ind <= len(q_list)
+    cache = cache if cache is not None else {}
+    t0 = time.time()
+
+    if "hyper" not in cache:
+        z_sym = codec._decode_z(bitstreams["z"], bitstreams["shape"],
+                                codec.model.n)
+        z_sym_dev = jnp.asarray(z_sym)
+        lm, ls = codec._p_zhat_hyper(False)(v, z_sym_dev, codec._z_med_dev)
+        cache["hyper"] = (lm, ls)
+    lm, ls = cache["hyper"]
+
+    if "base" not in cache:
+        lm_b = lm[..., :codec.model.division[0]]
+        ls_b = ls[..., :codec.model.division[0]]
+        y_hat_slices: List[jnp.ndarray] = []
+        for i in range(codec.model.ns0):
+            mu, scale, idx, msup = codec._p_base_params(i)(
+                v, lm_b, ls_b, tuple(y_hat_slices))
+            idx_np = np.asarray(jax.device_get(idx))
+            sym = codec._decode_slice(bitstreams["base"][i], idx_np)
+            y_hat = codec._p_base_finish(i)(v, jnp.asarray(sym), mu, msup)
+            y_hat_slices.append(y_hat)
+        cache["base"] = tuple(y_hat_slices)
+    base_slices = cache["base"]
+
+    if q_ind == 0:
+        x_hat, y_hat_b = codec._p_synth_base()(v, base_slices)
+        return {"x_hat": x_hat, "y_hat": y_hat_b, "cache": cache,
+                "decode_time": time.time() - t0}
+
+    if "entropy" not in cache:
+        mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(10.0)(
+            v, base_slices, lm, ls)
+        deltas = _p_shell_masks(codec, tuple(q_list))(scale_s)
+        cache["entropy"] = (
+            mu_s, msups,
+            np.asarray(jax.device_get(idx_full)),
+            np.asarray(jax.device_get(deltas)).astype(np.int32),
+        )
+        cache["canvas"] = None
+        cache["decoded_upto"] = 0
+    mu_s, msups, idx_np, deltas_np = cache["entropy"]
+
+    if cache["canvas"] is None:
+        cache["canvas"] = np.zeros(idx_np.shape, np.int32)
+    canvas = cache["canvas"]
+    b = idx_np.shape[1]
+    for j in range(cache["decoded_upto"], q_ind):
+        d = deltas_np[j]
+        idx_j = (idx_np * d).transpose(1, 0, 2, 3, 4)
+        per = idx_j[0].size
+        sym = codec.y_coder.decode_batch(
+            bitstreams["progressive"][j], idx_j.reshape(-1), [per] * b)
+        sym = sym.reshape(idx_j.shape).transpose(1, 0, 2, 3, 4)
+        canvas += sym * d
+    cache["decoded_upto"] = max(cache["decoded_upto"], q_ind)
+
+    x_hat, y_prog = codec._p_prog_reconstruct()(
+        v, jnp.asarray(canvas), mu_s, msups, base_slices)
+    return {"x_hat": x_hat, "y_hat": y_prog, "cache": cache,
+            "decode_time": time.time() - t0}

@@ -1,0 +1,152 @@
+"""VarianceMaskingPICREM — PIC + Rate Enhancement Modules.
+
+Reference behavior: src/models/rem_pic.py. REMs refine the progressive
+entropy parameters (mu, sigma) of each slice using an already-decoded
+checkpoint-quality latent; one REM bank per quality bracket between the
+``check_levels``. The support chain always consumes the UNREFINED
+parameters (rem_pic.py:560-561 appends before enhancement); only the
+per-slice masking/coding uses the refined ones.
+
+The bracket selection is static for python-float qualities (the codec path)
+and a lax.switch for traced qualities (sampling training).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import LatentRateReduction, apply_noise_mask, variance_mask
+from .pic import VarianceMaskingPIC
+
+
+class VarianceMaskingPICREM(VarianceMaskingPIC):
+    check_levels: Sequence[float] = (0.01, 0.25, 1.75)
+    mu_std: bool = True
+    rem_dimension: str = "big"
+
+    @property
+    def num_rems(self) -> int:
+        return len(self.check_levels)
+
+    def setup(self):
+        super().setup()
+        self.post_latent = [
+            [LatentRateReduction(self.dim_chunk, self.mu_std,
+                                 self.rem_dimension,
+                                 name=f"post_latent_{r}_{i}")
+             for i in range(self.ns0)]
+            for r in range(self.num_rems)
+        ]
+
+    # ------------------------------------------------------------------
+
+    def find_check_quality(self, quality: float):
+        """Bracket a quality between checkpoint levels: returns
+        (quality_ref, quality_post, rem_index). Reference:
+        rem_pic.py:142-165 (generalized to any number of levels)."""
+        c = list(self.check_levels)
+        if quality <= c[0]:
+            return 0.0, 0.0, -1
+        for j in range(len(c) - 1):
+            if c[j] < quality <= c[j + 1]:
+                return c[j], c[j + 1], j
+        return c[-1], 10.0, len(c) - 1
+
+    def _rem_bank_index(self, quality: float) -> int:
+        """Which REM refines at this quality (reference:
+        rem_pic.py:200-214): bank j for c_j < q <= c_{j+1}, last bank
+        above c_last."""
+        c = list(self.check_levels)
+        for j in range(len(c) - 1):
+            if c[j] < quality <= c[j + 1]:
+                return j
+        return len(c) - 1
+
+    def apply_latent_enhancement(self, current_index: int, quality,
+                                 y_b_hat, params_base, params_prog,
+                                 mu, scale, attention_mask=None,
+                                 training: bool = False):
+        """Run the right REM (reference: rem_pic.py:167-220). quality must
+        be a static python float here; traced qualities go through
+        _refine_prog_params."""
+        if attention_mask is None:
+            attention_mask = apply_noise_mask(
+                variance_mask(scale, quality, self.mask_policy), training)
+        if self.mu_std:
+            attention_mask = jnp.concatenate(
+                [attention_mask, attention_mask], axis=-1)
+        if quality <= self.check_levels[0]:
+            return mu, scale
+        bank = self._rem_bank_index(quality)
+        out = self.post_latent[bank][current_index](
+            y_b_hat, params_base, params_prog, attention_mask)
+        if self.mu_std:
+            mu, scale = jnp.split(out, 2, axis=-1)
+            return mu, scale
+        return mu, out
+
+    def _refine_prog_params(self, i: int, quality, mu, scale,
+                            checkpoint_ref, mu_base_i, std_base_i):
+        if checkpoint_ref is None:
+            return mu, scale
+        y_b_hat = self._slice(checkpoint_ref, i)
+        params_base = jnp.concatenate([mu_base_i, std_base_i], axis=-1)
+        params_prog = (jnp.concatenate([mu, scale], axis=-1)
+                       if self.mu_std else scale)
+
+        if isinstance(quality, (int, float)):
+            return self.apply_latent_enhancement(
+                i, float(quality), y_b_hat, params_base, params_prog,
+                mu, scale)
+
+        # traced quality: attention mask + bank switch under jit
+        att = apply_noise_mask(
+            variance_mask(scale, quality, self.mask_policy), False)
+        if self.mu_std:
+            att = jnp.concatenate([att, att], axis=-1)
+        c = jnp.asarray(list(self.check_levels), jnp.float32)
+        bank = jnp.clip(jnp.sum(quality > c) - 1, 0, self.num_rems - 1)
+
+        def make_branch(j):
+            def branch(_):
+                return self.post_latent[j][i](
+                    y_b_hat, params_base, params_prog, att)
+            return branch
+
+        out = jax.lax.switch(bank, [make_branch(j)
+                                    for j in range(self.num_rems)], None)
+        if self.mu_std:
+            mu_r, scale_r = jnp.split(out, 2, axis=-1)
+        else:
+            mu_r, scale_r = mu, out
+        # below the first checkpoint the REMs do not apply
+        skip = quality <= self.check_levels[0]
+        return (jnp.where(skip, mu, mu_r), jnp.where(skip, scale, scale_r))
+
+    # REM forward is single-quality (reference overrides forward with the
+    # single-quality signature, rem_pic.py:226-229)
+    def __call__(self, x, quality=0.0, training: bool = True,
+                 mask_policy: Optional[str] = None, checkpoint_ref=None):
+        return self.forward_single_quality(
+            x, quality, training, mask_policy, checkpoint_ref)
+
+    def init_all(self, x):
+        """Trace every submodule incl. all REM banks (for model.init)."""
+        out = self.forward_single_quality(x, 10.0, training=False)
+        # base synthesis branch (only traced at q=0 otherwise)
+        self.synthesize_base(jnp.zeros_like(out["y_base"]))
+        b = x.shape[0]
+        h, w = x.shape[1] // 16, x.shape[2] // 16
+        c = self.dim_chunk
+        y_dummy = jnp.zeros((b, h, w, c))
+        pb_dummy = jnp.zeros((b, h, w, 2 * c))
+        pp_dummy = jnp.zeros((b, h, w, 2 * c if self.mu_std else c))
+        att_dummy = jnp.ones_like(pp_dummy)
+        for r in range(self.num_rems):
+            for i in range(self.ns0):
+                self.post_latent[r][i](y_dummy, pb_dummy, pp_dummy,
+                                       att_dummy)
+        return out

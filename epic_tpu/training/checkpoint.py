@@ -1,0 +1,56 @@
+"""Checkpoint save/load via Orbax, carrying the model config.
+
+Reference behavior: utility/functions.py:14-20 + train.py:361-384 — the
+checkpoint embeds the args so the model is always rebuilt from the saved
+config (config-from-checkpoint); resume is weights-first. Ours saves
+{params, opt_state?, step} through Orbax (TPU-preemption-safe) with a JSON
+config sidecar, and supports best/last naming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..models import get_model
+
+
+def save_checkpoint(directory: str, params, config: Dict[str, Any],
+                    step: int = 0, is_best: bool = False,
+                    keep_last: bool = True) -> None:
+    """Writes `{directory}/last` (and `/best` when is_best) + config.json."""
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump({"config": config, "step": step}, f, indent=2)
+    ckptr = ocp.StandardCheckpointer()
+    targets = (["last"] if keep_last else []) + (["best"] if is_best else [])
+    for name in targets:
+        path = os.path.join(directory, name)
+        ckptr.save(path, jax.device_get(params), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(directory: str, which: str = "last",
+                    config_overrides: Optional[Dict[str, Any]] = None):
+    """Returns (model, params, config, step). The model is rebuilt from the
+    saved config (with optional overrides, mirroring train.py:98-110's
+    REM-field overrides)."""
+    directory = os.path.abspath(directory)
+    with open(os.path.join(directory, "config.json")) as f:
+        meta = json.load(f)
+    config = dict(meta["config"])
+    if config_overrides:
+        config.update(config_overrides)
+    name = config.pop("model", "pic")
+    model = get_model(name, **{k: (tuple(v) if isinstance(v, list) else v)
+                               for k, v in config.items()})
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(os.path.join(directory, which))
+    config["model"] = name
+    return model, params, config, meta.get("step", 0)

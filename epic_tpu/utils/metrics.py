@@ -1,0 +1,113 @@
+"""Quality metrics: PSNR and MS-SSIM (and its dB form).
+
+Reference behavior: utility/functions.py:172-177 (PSNR, pytorch_msssim) and
+step.py:323-324 (MS-SSIM in dB = -10*log10(1-msssim)). MS-SSIM is
+implemented here in JAX (no pytorch_msssim in this environment): the
+standard 5-scale MS-SSIM with the Wang et al. weights, 11x11 Gaussian
+window (sigma 1.5), computed per channel and averaged.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def compute_psnr(a, b, data_range: float = 1.0) -> float:
+    mse = float(jnp.mean((jnp.asarray(a) - jnp.asarray(b)) ** 2))
+    if mse <= 0:
+        return float("inf")
+    return 10.0 * math.log10(data_range ** 2 / mse)
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
+    xs = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    g = g / g.sum()
+    return g
+
+
+def _filter2d(x, kernel1d):
+    """Separable valid-mode Gaussian filter over NHWC."""
+    c = x.shape[-1]
+    kh = kernel1d.reshape(1, -1, 1, 1, 1)
+    kw = kernel1d.reshape(1, 1, -1, 1, 1)
+    # depthwise via grouped conv
+    k_h = jnp.tile(kernel1d.reshape(-1, 1, 1, 1), (1, 1, 1, c))
+    k_w = jnp.tile(kernel1d.reshape(1, -1, 1, 1), (1, 1, 1, c))
+    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, 1, 1),
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, k_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+    y = jax.lax.conv_general_dilated(
+        y, k_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+    return y
+
+
+def _ssim_components(x, y, data_range: float = 1.0):
+    k1, k2 = 0.01, 0.03
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    w = _gaussian_kernel()
+    mu_x = _filter2d(x, w)
+    mu_y = _filter2d(y, w)
+    sxx = _filter2d(x * x, w) - mu_x * mu_x
+    syy = _filter2d(y * y, w) - mu_y * mu_y
+    sxy = _filter2d(x * y, w) - mu_x * mu_y
+    cs = (2 * sxy + c2) / (sxx + syy + c2)
+    ssim = ((2 * mu_x * mu_y + c1) / (mu_x ** 2 + mu_y ** 2 + c1)) * cs
+    return ssim.mean(), cs.mean()
+
+
+def _avg_pool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+
+
+@jax.jit
+def _ms_ssim_jit(x, y):
+    levels = len(_MSSSIM_WEIGHTS)
+    weights = jnp.asarray(_MSSSIM_WEIGHTS)
+    mcs = []
+    ssim_val = jnp.float32(0)
+    for i in range(levels):
+        ssim_val, cs = _ssim_components(x, y)
+        if i < levels - 1:
+            mcs.append(jnp.maximum(cs, 0.0))
+            x = _avg_pool2(x)
+            y = _avg_pool2(y)
+    mcs_stack = jnp.stack(mcs)
+    return (jnp.prod(mcs_stack ** weights[:-1])
+            * jnp.maximum(ssim_val, 0.0) ** weights[-1])
+
+
+def compute_msssim(a, b) -> float:
+    """MS-SSIM over NHWC float images in [0,1]; needs H,W >= 176."""
+    return float(_ms_ssim_jit(jnp.asarray(a, jnp.float32),
+                              jnp.asarray(b, jnp.float32)))
+
+
+def msssim_db(msssim: float) -> float:
+    """-10*log10(1 - msssim) (reference: step.py:323-324)."""
+    return -10.0 * math.log10(max(1.0 - msssim, 1e-12))
+
+
+class AverageMeter:
+    """Running average (reference: functions.py:88-101)."""
+
+    def __init__(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)

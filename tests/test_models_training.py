@@ -1,0 +1,227 @@
+"""Tests: model registry (WACNN/PIC/REM), REM codec parity, training
+subsystem (losses, stage plans, masks, one optimization step).
+
+Reference behaviors: models/__init__.py:5-55 (registry), rem_pic.py (REM
+refinement + bracketing), train.py:132-186 (stage recipes),
+utility/functions.py:23-59 (optimizers), training/loss.py (criteria).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from epic_tpu.models import get_model, MODELS, VarianceMaskingPICREM
+from epic_tpu.codec import PICCodec
+from epic_tpu.training import (
+    create_train_state,
+    make_stage,
+    make_train_step,
+    make_eval_step,
+    trainable_mask,
+    scalable_rate_distortion_loss,
+    rate_loss,
+)
+from epic_tpu.training.step import extract_quality_ref, make_ckpt_extractor
+
+TINY_PIC = dict(n=16, m=32, division=(16, 32), dim_chunk=8,
+                param_net_widths=(24, 16))
+TINY_REM = dict(**TINY_PIC, check_levels=(0.5, 2.0), rem_dimension="middle")
+
+
+@pytest.fixture(scope="module")
+def x():
+    return jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+
+
+@pytest.fixture(scope="module")
+def rem_setup(x):
+    model = get_model("rem", **TINY_REM)
+    v = model.init({"params": jax.random.key(3), "noise": jax.random.key(4)},
+                   x, method="init_all")
+    return model, v
+
+
+class TestRegistry:
+    def test_names(self):
+        assert set(MODELS) == {"cnn", "pic", "rem"}
+
+    def test_wacnn_is_single_branch(self, x):
+        w = get_model("cnn", n=16, m=32, dim_chunk=8,
+                      param_net_widths=(24, 16))
+        assert w.ns0 == w.ns1 == 4
+        assert not w.multiple_encoder
+        v = w.init({"params": jax.random.key(1)}, x, method="init_all")
+        out = w.apply(v, x, [0], False)
+        assert out["x_hat"].shape == (1, 2, 64, 64, 3)
+        assert "y_prog" not in out["likelihoods"]
+
+    def test_unknown_model_raises(self):
+        with pytest.raises(KeyError):
+            get_model("nope")
+
+
+class TestREM:
+    def test_find_check_quality_brackets(self):
+        m = VarianceMaskingPICREM(check_levels=(0.01, 0.25, 1.75))
+        assert m.find_check_quality(0.005) == (0.0, 0.0, -1)
+        assert m.find_check_quality(0.1) == (0.01, 0.25, 0)
+        assert m.find_check_quality(1.0) == (0.25, 1.75, 1)
+        assert m.find_check_quality(5.0) == (1.75, 10.0, 2)
+
+    def test_refined_codec_roundtrip_bit_exact(self, x, rem_setup):
+        model, v = rem_setup
+        codec = PICCodec(model, v)
+        ckpt = codec.extract_checkpoint(x, 0.5)
+        out = codec.compress(x, 3.0, return_latents=True,
+                             checkpoint_rep=ckpt)
+        dec = codec.decompress(out, checkpoint_rep=ckpt)
+        np.testing.assert_array_equal(np.asarray(out["y_hat"]),
+                                      np.asarray(dec["y_hat"]))
+
+    def test_rem_changes_the_stream(self, x, rem_setup):
+        model, v = rem_setup
+        codec = PICCodec(model, v)
+        ckpt = codec.extract_checkpoint(x, 0.5)
+        with_rem = codec.compress(x, 3.0, checkpoint_rep=ckpt)
+        without = codec.compress(x, 3.0)
+        b1 = b"".join(s for sl in with_rem["strings"][0] for s in sl)
+        b2 = b"".join(s for sl in without["strings"][0] for s in sl)
+        assert b1 != b2
+
+    def test_extract_quality_ref(self):
+        assert extract_quality_ref(0.3, (0.5, 2.0)) == 0.0
+        assert extract_quality_ref(1.0, (0.5, 2.0)) == 0.5
+        assert extract_quality_ref(5.0, (0.5, 2.0)) == 2.0
+
+
+class TestStages:
+    def test_plans(self):
+        p = make_stage("first_train")
+        assert p.list_quality == [0, 10] and not p.sampling
+        p = make_stage("refine_gs")
+        assert p.sampling and len(p.list_quality) > 200
+        p = make_stage("refine_gs_ga", lmbda_list=(0.0055, 0.04))
+        assert p.lmbda_schedule is not None
+        assert len(p.lmbda_schedule) == len(p.list_quality)
+        p = make_stage("rems", check_levels=(0.75,), check_levels_np=(24,))
+        assert p.rems == [0.75] and 10.0 in p.list_quality
+
+    def test_trainable_masks(self, x):
+        model = get_model("pic", **TINY_PIC)
+        v = model.init({"params": jax.random.key(1)}, x, method="init_all")
+        params = v["params"]
+
+        def frac_true(mask):
+            leaves = jax.tree.leaves(mask)
+            return sum(bool(l) for l in leaves) / len(leaves)
+
+        m_all = trainable_mask(params, "first_train")
+        assert 0.9 < frac_true(m_all) <= 1.0  # all but quantiles
+        m_gs = trainable_mask(params, "refine_gs")
+        flat = jax.tree_util.tree_flatten_with_path(m_gs)[0]
+        on = ["/".join(str(getattr(k, 'key', k)) for k in p)
+              for p, v_ in flat if v_]
+        assert on and all(s.startswith("g_s_1") for s in on)
+        m_ga = trainable_mask(params, "refine_gs_ga")
+        on = ["/".join(str(getattr(k, 'key', k)) for k in p)
+              for p, v_ in jax.tree_util.tree_flatten_with_path(m_ga)[0]
+              if v_]
+        assert any(s.startswith("g_a_1") for s in on)
+        assert all(s.startswith(("g_a_1", "g_s_1")) for s in on)
+
+
+class TestTrainingSteps:
+    def test_first_train_step_decreases_loss(self, x):
+        model = get_model("pic", **TINY_PIC)
+        v = model.init({"params": jax.random.key(1),
+                        "noise": jax.random.key(2)}, x, method="init_all")
+        plan = make_stage("first_train")
+        state = create_train_state(v["params"], "first_train",
+                                   learning_rate=1e-3)
+        step = make_train_step(model, plan)
+        rng = jax.random.key(5)
+        losses = []
+        for i in range(4):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, x, sub)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_sampling_step_no_recompile_across_qualities(self, x):
+        model = get_model("pic", **TINY_PIC)
+        v = model.init({"params": jax.random.key(1),
+                        "noise": jax.random.key(2)}, x, method="init_all")
+        plan = make_stage("refine_gs")
+        state = create_train_state(v["params"], "refine_gs")
+        step = make_train_step(model, plan)
+        rng = jax.random.key(6)
+        for q in [0.3, 1.7, 9.4]:  # one compile, many qualities
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, x, sub, jnp.float32(q),
+                                  jnp.float32(0.01))
+            assert np.isfinite(float(metrics["loss"]))
+
+    def test_rems_stage_with_checkpoint(self, x, rem_setup):
+        model, v = rem_setup
+        plan = make_stage("rems", check_levels=(0.5, 2.0),
+                          check_levels_np=(4, 4))
+        state = create_train_state(v["params"], "rems")
+        step = make_train_step(model, plan)
+        extractor = make_ckpt_extractor(model)
+        q = 1.2
+        qref = extract_quality_ref(q, (0.5, 2.0))
+        ckpt = extractor(state.params, x, jnp.float32(qref))
+        rng = jax.random.key(7)
+        state2, metrics = step(state, x, rng, jnp.float32(q),
+                               jnp.float32(0.0), ckpt)
+        assert np.isfinite(float(metrics["loss"]))
+        # only post_latent params changed
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.params, state2.params)
+        flat = jax.tree_util.tree_flatten_with_path(diff)[0]
+        for path, d in flat:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if d > 0 and "quantiles" not in name:
+                assert name.startswith("post_latent"), name
+
+    def test_eval_step(self, x):
+        model = get_model("pic", **TINY_PIC)
+        v = model.init({"params": jax.random.key(1),
+                        "noise": jax.random.key(2)}, x, method="init_all")
+        ev = make_eval_step(model)
+        _, bpp0, _ = ev(v["params"], x, jnp.float32(0.0))
+        _, bpp10, _ = ev(v["params"], x, jnp.float32(10.0))
+        assert float(bpp10) > float(bpp0) > 0
+
+
+class TestLosses:
+    def test_scalable_loss_fields(self, x):
+        fake = {
+            "x_hat": jnp.stack([x, x * 0.9]),
+            "likelihoods": {
+                "y": jnp.full((2, 4, 4, 32), 0.5),
+                "y_prog": jnp.full((1, 2, 4, 4, 64), 0.5),
+                "z": jnp.full((2, 1, 1, 16), 0.5),
+            },
+        }
+        out = scalable_rate_distortion_loss(fake, x, jnp.asarray([0.01, 0.1]))
+        for k in ["loss", "bpp_loss", "bpp_base", "bpp_scalable",
+                  "bpp_hype", "mse_loss"]:
+            assert k in out
+        assert out["mse_loss"].shape == (2,)
+        assert float(out["bpp_hype"]) > 0
+
+    def test_rate_loss_is_rate_only(self, x):
+        fake = {
+            "x_hat": x * 0.5,  # large distortion must not matter
+            "likelihoods": {
+                "y": jnp.full((2, 4, 4, 64), 0.5),
+                "z": jnp.full((2, 1, 1, 16), 0.5),
+            },
+        }
+        out = rate_loss(fake, x)
+        np.testing.assert_allclose(float(out["loss"]),
+                                   float(out["bpp_loss"]))

@@ -1,0 +1,187 @@
+"""Integration tests: VarianceMaskingPIC forward + real codec round-trips.
+
+The reference's implicit invariants promoted to tests (SURVEY.md §4):
+- decompress(compress(x)) reconstructs y_hat bit-exactly (the encoder
+  simulates the decoder, pic.py:689,741)
+- encoder- and decoder-side variance masks are identical (never transmitted)
+- coded size grows monotonically with quality
+- the progressive single-bitstream decode equals the random-access codec's
+  reconstruction at every quality level
+- estimated (likelihood) bpp tracks real (string-length) bpp
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from epic_tpu.models.pic import VarianceMaskingPIC
+from epic_tpu.codec import (
+    PICCodec,
+    dump_bitstreams,
+    load_bitstreams,
+    progressive_decode,
+    progressive_encode,
+)
+
+TINY = dict(n=32, m=64, division=(32, 64), dim_chunk=8,
+            param_net_widths=(32, 24))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = VarianceMaskingPIC(**TINY)
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    v = model.init({"params": jax.random.key(1), "noise": jax.random.key(2)},
+                   x, [0, 10], True)
+    codec = PICCodec(model, v)
+    return model, v, x, codec
+
+
+class TestForward:
+    def test_multi_quality_shapes(self, setup):
+        model, v, x, _ = setup
+        out = model.apply(v, x, [0, 1.0, 10], True,
+                          rngs={"noise": jax.random.key(3)})
+        assert out["x_hat"].shape == (3, 2, 64, 64, 3)
+        assert out["likelihoods"]["y"].shape == (2, 4, 4, 32)
+        assert out["likelihoods"]["y_prog"].shape == (2, 2, 4, 4, 64)
+        assert np.isfinite(np.asarray(out["x_hat"])).all()
+
+    def test_single_quality_bpp_monotone(self, setup):
+        model, v, x, _ = setup
+
+        def bpp(q):
+            o = model.apply(v, x, q, False,
+                            method=VarianceMaskingPIC.forward_single_quality)
+            npix = x.shape[0] * x.shape[1] * x.shape[2]
+            return sum(float(-jnp.log2(l).sum())
+                       for l in jax.tree.leaves(o["likelihoods"])) / npix
+
+        b = [bpp(q) for q in [0.0, 2.0, 5.0, 10.0]]
+        assert b[0] < b[1] < b[2] < b[3]
+
+    def test_traced_quality_equals_static(self, setup):
+        model, v, x, _ = setup
+        f = jax.jit(lambda vv, xx, q: model.apply(
+            vv, xx, q, False,
+            method=VarianceMaskingPIC.forward_single_quality))
+        out_t = f(v, x, jnp.float32(5.0))
+        out_s = model.apply(v, x, 5.0, False,
+                            method=VarianceMaskingPIC.forward_single_quality)
+        np.testing.assert_allclose(np.asarray(out_t["x_hat"]),
+                                   np.asarray(out_s["x_hat"]), atol=2e-5)
+
+    def test_training_forward_differentiable(self, setup):
+        model, v, x, _ = setup
+
+        def loss(params):
+            out = model.apply({"params": params}, x, [0, 10], True,
+                              rngs={"noise": jax.random.key(4)})
+            lik = out["likelihoods"]
+            bits = sum(-jnp.log(l).sum() for l in jax.tree.leaves(lik))
+            mse = ((out["x_hat"] - x[None]) ** 2).mean()
+            return bits * 1e-4 + mse
+
+        g = jax.grad(loss)(v["params"])
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(l).all() for l in leaves)
+        # gradients reach the encoder, decoder and entropy params
+        total = sum(float(jnp.abs(l).sum()) for l in leaves)
+        assert total > 0
+
+
+class TestRealCodec:
+    def test_base_roundtrip_bit_exact(self, setup):
+        _, _, x, codec = setup
+        out = codec.compress(x, quality=0, return_latents=True)
+        dec = codec.decompress(out)
+        np.testing.assert_array_equal(np.asarray(out["y_hat_base"]),
+                                      np.asarray(dec["y_hat"]))
+
+    def test_progressive_quality_roundtrip_bit_exact(self, setup):
+        _, _, x, codec = setup
+        out = codec.compress(x, quality=3.0, return_latents=True)
+        dec = codec.decompress(out)
+        np.testing.assert_array_equal(np.asarray(out["y_hat"]),
+                                      np.asarray(dec["y_hat"]))
+
+    def test_rate_monotone_in_quality(self, setup):
+        _, _, x, codec = setup
+        sizes = []
+        for q in [0, 0.5, 2.0, 10.0]:
+            o = codec.compress(x, quality=q)
+            sizes.append(sum(len(s) for sl in o["strings"][0] for s in sl))
+        assert sizes == sorted(sizes) and len(set(sizes)) == len(sizes)
+
+    def test_estimated_vs_real_bpp(self, setup):
+        model, v, x, codec = setup
+        q = 10.0
+        o = model.apply(v, x, q, False,
+                        method=VarianceMaskingPIC.forward_single_quality)
+        npix = x.shape[0] * x.shape[1] * x.shape[2]
+        est = sum(float(-jnp.log2(l).sum())
+                  for l in jax.tree.leaves(o["likelihoods"])) / npix
+        out = codec.compress(x, quality=q)
+        real_bits = (sum(len(s) for sl in out["strings"][0] for s in sl)
+                     + sum(len(s) for s in out["strings"][1])) * 8
+        real = real_bits / npix
+        # real coding should be within ~15% of the entropy estimate on a
+        # tiny random-weight model (plus per-message constant overhead)
+        assert abs(real - est) / est < 0.25
+
+    def test_codec_matches_eval_forward(self, setup):
+        # The real codec must reconstruct exactly what the differentiable
+        # eval forward predicts (the dual-path parity the reference checks
+        # empirically, SURVEY.md §4).
+        model, v, x, codec = setup
+        for q in [0.0, 3.0]:
+            fwd = model.apply(
+                v, x, q, False,
+                method=VarianceMaskingPIC.forward_single_quality)
+            dec = codec.decompress(codec.compress(x, quality=q))
+            np.testing.assert_allclose(np.asarray(dec["y_hat"]),
+                                       np.asarray(fwd["y_hat"]),
+                                       atol=1e-4)
+            np.testing.assert_allclose(np.asarray(dec["x_hat"]),
+                                       np.asarray(fwd["x_hat"]),
+                                       atol=1e-3)
+
+
+class TestProgressiveBitstream:
+    def test_matches_random_access_bit_exact(self, setup):
+        _, _, x, codec = setup
+        q_list = [0.5, 2.0, 10.0]
+        bs, bits = progressive_encode(codec, x, q_list)
+        cache = {}
+        for j, q in enumerate(q_list, start=1):
+            r = progressive_decode(codec, bs, j, cache)
+            ra = codec.decompress(
+                codec.compress(x, quality=q, return_latents=True))
+            np.testing.assert_array_equal(np.asarray(r["y_hat"]),
+                                          np.asarray(ra["y_hat"]))
+
+    def test_base_only_decode(self, setup):
+        _, _, x, codec = setup
+        bs, _ = progressive_encode(codec, x, [1.0, 10.0])
+        r = progressive_decode(codec, bs, 0, {})
+        ra = codec.decompress(codec.compress(x, quality=0))
+        np.testing.assert_array_equal(np.asarray(r["y_hat"]),
+                                      np.asarray(ra["y_hat"]))
+
+    def test_container_roundtrip(self, setup):
+        _, _, x, codec = setup
+        bs, _ = progressive_encode(codec, x, [1.0, 10.0])
+        blob = dump_bitstreams(bs)
+        bs2 = load_bitstreams(blob)
+        assert bs2["q_list"] == bs["q_list"]
+        assert bs2["shape"] == bs["shape"]
+        assert bs2["z"] == bs["z"]
+        assert bs2["base"] == bs["base"]
+        assert bs2["progressive"] == bs["progressive"]
+
+    def test_shell_bits_sum_to_full_quality(self, setup):
+        _, _, x, codec = setup
+        bs, bits = progressive_encode(codec, x, [0.5, 2.0, 10.0])
+        bits_z, bits_base, bits_prog = bits
+        assert all(b > 0 for b in bits_prog)
