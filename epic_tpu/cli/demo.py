@@ -71,8 +71,17 @@ def main(argv=None):
         return res
 
     # --- single progressive bitstream ---
+    y_checkpoints = None
+    if check_levels:
+        # chained checkpoint-latent extraction (reference demo.py:86-93)
+        y_checkpoints, prev = [], None
+        for cl in check_levels:
+            prev = codec.extract_checkpoint(xp, cl, checkpoint_rep=prev)
+            y_checkpoints.append(prev)
     t0 = time.time()
-    bs, bits = progressive_encode(codec, xp, args.q_levs)
+    bs, bits = progressive_encode(codec, xp, args.q_levs,
+                                  rems=bool(y_checkpoints),
+                                  y_checkpoints=y_checkpoints)
     print(f"encoded in {time.time()-t0:.2f}s | z {bits[0]/npix:.4f} bpp, "
           f"base {bits[1]/npix:.4f} bpp, shells "
           f"{[round(b/npix, 4) for b in bits[2]]}")
@@ -88,7 +97,9 @@ def main(argv=None):
     results = []
     cum_bits = bits[0] + bits[1]
     for q_ind in levels:
-        out = progressive_decode(codec, bs, q_ind, cache)
+        out = progressive_decode(codec, bs, q_ind, cache,
+                                 rems=bool(y_checkpoints),
+                                 y_checkpoints=y_checkpoints)
         x_hat = unpad_image(out["x_hat"], unpad)
         psnr = compute_psnr(x, x_hat)
         if q_ind > 0:

@@ -177,6 +177,43 @@ class PICCodec:
             return f
         return self._prog(("prog_params", quality_key, with_ckpt), make)
 
+    def _p_prog_params_rem_chain(self, n_checkpoints: int):
+        """Progressive params with CHAINED REM refinement for the
+        single-bitstream codec: every checkpoint bank refines (mu, scale)
+        in sequence (reference: functions_encode.py:127-148 /
+        functions_decode.py:135-151). Unmasked indexes (q=10 ladder coding).
+        Note: in this path the reference chains the support off the
+        REFINED params on both sides (consistent enc/dec), which we match.
+        """
+        def make():
+            def f(v, y_hat_base_slices, lm, ls, ckpts, mu_b, std_b):
+                model = self.model
+                check_levels = list(model.check_levels)
+                mus, muts, scales, msups = [], [], [], []
+                lm_e = lm[..., model.division[0]:]
+                ls_e = ls[..., model.division[0]:]
+                for i in range(model.ns1 - model.ns0):
+                    mu, mut, scale, msup = model.apply(
+                        v, lm_e, ls_e, y_hat_base_slices[i], muts, scales, i,
+                        method=VarianceMaskingPIC.prog_slice_params)
+                    for j in range(n_checkpoints):
+                        q_j = check_levels[j]
+                        mu, scale = model.apply(
+                            v, i, q_j, mu, scale, ckpts[j], mu_b[i],
+                            std_b[i],
+                            method=type(model)._refine_prog_params)
+                    muts.append(mut)
+                    scales.append(scale)
+                    mus.append(mu)
+                    msups.append(msup)
+                mu_s = jnp.stack(mus)
+                scale_s = jnp.stack(scales)
+                idx = build_indexes(scale_s, self._scale_table,
+                                    self.model.scale_bound)
+                return mu_s, scale_s, idx, tuple(msups)
+            return f
+        return self._prog(("prog_params_rem_chain", n_checkpoints), make)
+
     def _p_prog_sym(self):
         def make():
             def f(y, mu_s, mask):

@@ -69,13 +69,21 @@ def progressive_encode(codec: PICCodec, x,
 
     # quality-independent entropy params; q=10 -> all-ones mask, unmasked
     # indexes (functions_encode.py:153-158 quantizes everything once)
-    mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(10.0)(
-        v, base_slices, lm, ls)
-    sym_full = codec._p_prog_sym()(y, mu_s, mask1)
-
     if rems and y_checkpoints:
-        raise NotImplementedError(
-            "REM-refined progressive encoding lands with the REM model")
+        mu_b = tuple(out_base["mean_base"][..., i * c:(i + 1) * c]
+                     for i in range(codec.model.ns0))
+        std_b = tuple(out_base["scale_base"][..., i * c:(i + 1) * c]
+                      for i in range(codec.model.ns0))
+        mu_s, scale_s, idx_full, msups = codec._p_prog_params_rem_chain(
+            len(y_checkpoints))(v, base_slices, lm, ls,
+                                tuple(jnp.asarray(ck)
+                                      for ck in y_checkpoints),
+                                mu_b, std_b)
+        mask1 = jnp.ones_like(scale_s)
+    else:
+        mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(10.0)(
+            v, base_slices, lm, ls)
+    sym_full = codec._p_prog_sym()(y, mu_s, mask1)
 
     deltas = _p_shell_masks(codec, tuple(q_list))(scale_s)
 
@@ -134,6 +142,7 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
         lm_b = lm[..., :codec.model.division[0]]
         ls_b = ls[..., :codec.model.division[0]]
         y_hat_slices: List[jnp.ndarray] = []
+        mu_b, std_b = [], []
         for i in range(codec.model.ns0):
             mu, scale, idx, msup = codec._p_base_params(i)(
                 v, lm_b, ls_b, tuple(y_hat_slices))
@@ -141,7 +150,10 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
             sym = codec._decode_slice(bitstreams["base"][i], idx_np)
             y_hat = codec._p_base_finish(i)(v, jnp.asarray(sym), mu, msup)
             y_hat_slices.append(y_hat)
+            mu_b.append(mu)
+            std_b.append(scale)
         cache["base"] = tuple(y_hat_slices)
+        cache["base_params"] = (tuple(mu_b), tuple(std_b))
     base_slices = cache["base"]
 
     if q_ind == 0:
@@ -150,8 +162,16 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
                 "decode_time": time.time() - t0}
 
     if "entropy" not in cache:
-        mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(10.0)(
-            v, base_slices, lm, ls)
+        if rems and y_checkpoints:
+            mu_b, std_b = cache["base_params"]
+            mu_s, scale_s, idx_full, msups = (
+                codec._p_prog_params_rem_chain(len(y_checkpoints))(
+                    v, base_slices, lm, ls,
+                    tuple(jnp.asarray(ck) for ck in y_checkpoints),
+                    mu_b, std_b))
+        else:
+            mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(
+                10.0)(v, base_slices, lm, ls)
         deltas = _p_shell_masks(codec, tuple(q_list))(scale_s)
         cache["entropy"] = (
             mu_s, msups,

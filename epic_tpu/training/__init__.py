@@ -15,7 +15,7 @@ from .losses import (
 from .stages import StagePlan, make_stage, trainable_mask
 from .state import TrainState, create_train_state
 from .step import make_train_step, make_eval_step, valid_epoch, test_epoch
-from .evaluate import compress_with_ac
+from .evaluate import compress_with_ac, rd_sweep
 from .checkpoint import save_checkpoint, load_checkpoint
 
 __all__ = [
@@ -24,6 +24,6 @@ __all__ = [
     "StagePlan", "make_stage", "trainable_mask",
     "TrainState", "create_train_state",
     "make_train_step", "make_eval_step", "valid_epoch", "test_epoch",
-    "compress_with_ac",
+    "compress_with_ac", "rd_sweep",
     "save_checkpoint", "load_checkpoint",
 ]

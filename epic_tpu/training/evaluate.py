@@ -25,6 +25,66 @@ def _stream_bits(out: Dict[str, Any]) -> float:
     return y_bits + z_bits
 
 
+def rd_sweep(codec: PICCodec, images: Sequence[np.ndarray],
+             q_list: Sequence[float] = (0.01, 0.05, 0.1, 0.25, 0.5, 0.6,
+                                        0.7, 0.8, 0.9, 1, 2, 3, 4, 4.5, 10),
+             check_levels: Optional[Sequence[float]] = None
+             ) -> Dict[str, Any]:
+    """Full progressive RD curve per image in ONE encode: transforms and
+    entropy parameters are computed once and every quality level is a delta
+    shell (the reference's demo path, demo.py:126-153). Returns per-level
+    cumulative bpp / PSNR / incremental decode time, averaged over images.
+
+    This is the throughput-defining sweep (BASELINE.md: 'full Kodak RD
+    sweep'): versus per-level random-access coding it saves ~|q_list|x the
+    transform work.
+    """
+    from ..codec.progressive import progressive_decode, progressive_encode
+
+    nl = len(q_list) + 1  # + base level
+    bpp = np.zeros(nl)
+    psnr = np.zeros(nl)
+    dec_time = np.zeros(nl)
+    count = 0
+    for img in images:
+        x = jnp.asarray(img, jnp.float32)
+        if x.ndim == 3:
+            x = x[None]
+        xp, unpad = pad_image(x)
+        npix = x.shape[0] * x.shape[1] * x.shape[2]
+
+        y_checkpoints = None
+        if check_levels:
+            y_checkpoints, prev = [], None
+            for cl in check_levels:
+                prev = codec.extract_checkpoint(xp, cl, checkpoint_rep=prev)
+                y_checkpoints.append(prev)
+
+        bs, bits = progressive_encode(codec, xp, q_list,
+                                      rems=bool(y_checkpoints),
+                                      y_checkpoints=y_checkpoints)
+        cache: Dict[str, Any] = {}
+        cum = bits[0] + bits[1]
+        for j in range(nl):
+            out = progressive_decode(codec, bs, j, cache,
+                                     rems=bool(y_checkpoints),
+                                     y_checkpoints=y_checkpoints)
+            if j > 0:
+                cum = bits[0] + bits[1] + sum(bits[2][:j])
+            x_hat = unpad_image(out["x_hat"], unpad)
+            bpp[j] += cum / npix
+            psnr[j] += compute_psnr(x, x_hat)
+            dec_time[j] += out["decode_time"]
+        count += 1
+    count = max(count, 1)
+    return {
+        "q_list": [0] + list(q_list),
+        "bpp": (bpp / count).tolist(),
+        "psnr": (psnr / count).tolist(),
+        "decode_time": (dec_time / count).tolist(),
+    }
+
+
 def compress_with_ac(codec: PICCodec, images: Sequence[np.ndarray],
                      pr_list: Sequence[float] = (0, 0.5, 1, 2, 5, 10),
                      check_levels: Optional[Sequence[float]] = None,

@@ -1,0 +1,122 @@
+"""Tests: REM-refined progressive bitstream + orbax checkpoint round-trip.
+
+Reference behaviors: demo.py REM flow (checkpoint-latent chaining,
+demo.py:86-93,126-153), functions_encode/decode REM refinement, and
+config-carrying checkpoints (train.py:361-384).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from epic_tpu.models import get_model
+from epic_tpu.codec import PICCodec, progressive_decode, progressive_encode
+
+TINY_REM = dict(n=16, m=32, division=(16, 32), dim_chunk=8,
+                param_net_widths=(24, 16), check_levels=(0.5, 2.0),
+                rem_dimension="middle")
+
+
+@pytest.fixture(scope="module")
+def rem_codec():
+    model = get_model("rem", **TINY_REM)
+    x = jax.random.uniform(jax.random.key(0), (1, 64, 64, 3))
+    v = model.init({"params": jax.random.key(1), "noise": jax.random.key(2)},
+                   x, method="init_all")
+    return model, v, x, PICCodec(model, v)
+
+
+class TestREMProgressive:
+    def test_rem_progressive_roundtrip_deterministic(self, rem_codec):
+        model, v, x, codec = rem_codec
+        ckpts, prev = [], None
+        for cl in model.check_levels:
+            prev = codec.extract_checkpoint(x, cl, checkpoint_rep=prev)
+            ckpts.append(prev)
+        q_list = [0.5, 2.0, 10.0]
+        bs, bits = progressive_encode(codec, x, q_list, rems=True,
+                                      y_checkpoints=ckpts)
+        r1 = progressive_decode(codec, bs, 3, {}, rems=True,
+                                y_checkpoints=ckpts)
+        r2 = progressive_decode(codec, bs, 3, {}, rems=True,
+                                y_checkpoints=ckpts)
+        np.testing.assert_array_equal(np.asarray(r1["y_hat"]),
+                                      np.asarray(r2["y_hat"]))
+        assert all(b > 0 for b in bits[2])
+
+    def test_rem_stream_differs_from_plain(self, rem_codec):
+        model, v, x, codec = rem_codec
+        ckpts, prev = [], None
+        for cl in model.check_levels:
+            prev = codec.extract_checkpoint(x, cl, checkpoint_rep=prev)
+            ckpts.append(prev)
+        q_list = [2.0, 10.0]
+        bs_rem, _ = progressive_encode(codec, x, q_list, rems=True,
+                                       y_checkpoints=ckpts)
+        bs_plain, _ = progressive_encode(codec, x, q_list)
+        rem_blob = b"".join(s for sl in bs_rem["progressive"] for s in sl)
+        plain_blob = b"".join(s for sl in bs_plain["progressive"]
+                              for s in sl)
+        assert rem_blob != plain_blob
+        # base stream is REM-independent
+        assert bs_rem["base"] == bs_plain["base"]
+
+    def test_rem_incremental_equals_fresh(self, rem_codec):
+        model, v, x, codec = rem_codec
+        ckpts, prev = [], None
+        for cl in model.check_levels:
+            prev = codec.extract_checkpoint(x, cl, checkpoint_rep=prev)
+            ckpts.append(prev)
+        q_list = [0.5, 2.0, 10.0]
+        bs, _ = progressive_encode(codec, x, q_list, rems=True,
+                                   y_checkpoints=ckpts)
+        cache = {}
+        for j in range(1, 4):
+            inc = progressive_decode(codec, bs, j, cache, rems=True,
+                                     y_checkpoints=ckpts)
+            fresh = progressive_decode(codec, bs, j, {}, rems=True,
+                                       y_checkpoints=ckpts)
+            np.testing.assert_array_equal(np.asarray(inc["y_hat"]),
+                                          np.asarray(fresh["y_hat"]))
+
+
+class TestCheckpointIO:
+    def test_save_load_roundtrip(self, rem_codec, tmp_path):
+        from epic_tpu.training import load_checkpoint, save_checkpoint
+
+        model, v, x, codec = rem_codec
+        cfg = dict(TINY_REM)
+        cfg["model"] = "rem"
+        d = str(tmp_path / "ckpt")
+        save_checkpoint(d, v["params"], cfg, step=7, is_best=True)
+        model2, params2, cfg2, step = load_checkpoint(d, "best")
+        assert step == 7
+        assert cfg2["model"] == "rem"
+        assert type(model2).__name__ == "VarianceMaskingPICREM"
+        assert tuple(model2.check_levels) == (0.5, 2.0)
+        # params equal
+        a = jax.tree.leaves(v["params"])
+        b = jax.tree.leaves(params2)
+        assert len(a) == len(b)
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+        # and produce identical outputs
+        o1 = model.apply({"params": v["params"]}, x, 3.0, False)
+        o2 = model2.apply({"params": params2}, x, 3.0, False)
+        np.testing.assert_array_equal(np.asarray(o1["x_hat"]),
+                                      np.asarray(o2["x_hat"]))
+
+    def test_config_overrides(self, rem_codec, tmp_path):
+        from epic_tpu.training import load_checkpoint, save_checkpoint
+
+        model, v, _, _ = rem_codec
+        cfg = dict(TINY_REM)
+        cfg["model"] = "rem"
+        d = str(tmp_path / "ckpt2")
+        save_checkpoint(d, v["params"], cfg)
+        model2, _, cfg2, _ = load_checkpoint(
+            d, config_overrides={"check_levels": (0.1, 1.0)})
+        assert tuple(model2.check_levels) == (0.1, 1.0)
