@@ -61,10 +61,14 @@ def main():
 
     t_all = time.time()
     model = get_model("pic")
-    x0 = jnp.zeros((1, 512, 768, 3), jnp.float32)
     t0 = time.time()
-    variables = jax.jit(lambda: model.init(
-        {"params": jax.random.key(0)}, x0, method="init_all"))()
+    # init params on the host CPU backend (cheap, avoids a giant device
+    # compile), then transfer once
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = jax.jit(lambda: model.init(
+            {"params": jax.random.key(0)},
+            jnp.zeros((1, 64, 64, 3), jnp.float32), method="init_all"))()
+    variables = jax.device_put(variables, jax.devices()[0])
     jax.block_until_ready(variables)
     log(f"init {time.time()-t0:.1f}s on {jax.devices()[0].platform}")
 

@@ -23,6 +23,8 @@ _GAMMA_INIT = 0.1
 class GDN(nn.Module):
     channels: int
     inverse: bool = False
+    # None = auto: fused Pallas kernel on TPU backends, einsum elsewhere
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -40,6 +42,14 @@ class GDN(nn.Module):
         )
         beta = nn_param_apply(beta, _BETA_MIN)
         gamma = nn_param_apply(gamma, 0.0)
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() in ("tpu", "axon")
+        if use_pallas:
+            from .pallas_gdn import gdn_pallas
+
+            return gdn_pallas(x, gamma, beta, self.inverse)
         # norm[..., i] = beta[i] + sum_j x^2[..., j] * gamma[j, i]
         norm = jnp.einsum("bhwj,ji->bhwi", jnp.square(x), gamma) + beta
         if self.inverse:
