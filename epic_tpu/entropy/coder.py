@@ -139,6 +139,15 @@ class RansCoder:
             raise RuntimeError(f"rANS decode failed with code {rc}")
         return out
 
+    # -- buffered / streaming (reference BufferedRansEncoder /
+    #    RansDecoder.decode_stream, cnn.py:244-281, 303-345) --------------
+
+    def buffered_encoder(self) -> "BufferedEncoder":
+        return BufferedEncoder(self)
+
+    def stream_decoder(self, data: bytes) -> "StreamDecoder":
+        return StreamDecoder(self, data)
+
     # -- batched ----------------------------------------------------------
 
     def encode_batch(self, symbols, indexes,
@@ -199,3 +208,66 @@ class RansCoder:
         if rc != 0:
             raise RuntimeError(f"batched rANS decode failed with code {rc}")
         return out
+
+
+class BufferedEncoder:
+    """Accumulate (symbols, indexes) chunks, emit ONE stream on flush()
+    (reference BufferedRansEncoder semantics, cnn.py:244-281)."""
+
+    def __init__(self, coder: RansCoder):
+        self._coder = coder
+        self._symbols: list[np.ndarray] = []
+        self._indexes: list[np.ndarray] = []
+
+    def encode_with_indexes(self, symbols, indexes) -> None:
+        self._symbols.append(_ascontig(symbols, np.int32).ravel())
+        self._indexes.append(_ascontig(indexes, np.int32).ravel())
+
+    def flush(self) -> bytes:
+        sym = np.concatenate(self._symbols) if self._symbols else \
+            np.zeros(0, np.int32)
+        idx = np.concatenate(self._indexes) if self._indexes else \
+            np.zeros(0, np.int32)
+        return self._coder.encode_with_indexes(sym, idx)
+
+
+class StreamDecoder:
+    """Stateful chunked decoding of one stream: decode chunk k, compute
+    chunk k+1's indexes from it, continue (reference
+    RansDecoder.decode_stream, cnn.py:303-345)."""
+
+    def __init__(self, coder: RansCoder, data: bytes):
+        import ctypes as _ct
+
+        self._coder = coder
+        self._lib = coder._lib
+        buf = _ascontig(np.frombuffer(data, dtype=np.uint8), np.uint8)
+        self._buf = buf  # keep alive until handle copies it (ctor copies)
+        self._handle = self._lib.epic_rans_stream_new(
+            _u8p(buf), np.int64(buf.size))
+        if not self._handle:
+            raise ValueError("invalid stream")
+
+    def decode_stream(self, indexes) -> np.ndarray:
+        indexes = _ascontig(indexes, np.int32).ravel()
+        out = np.empty(indexes.size, dtype=np.int32)
+        rc = self._lib.epic_rans_stream_decode(
+            self._handle, _i32p(indexes), np.int64(indexes.size),
+            _u32p(self._coder.cdfs), np.int64(self._coder.cdfs.shape[1]),
+            _i32p(self._coder.cdf_lengths), _i32p(self._coder.offsets),
+            np.int32(self._coder.precision), _i32p(out),
+        )
+        if rc != 0:
+            raise RuntimeError(f"stream decode failed with code {rc}")
+        return out
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.epic_rans_stream_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

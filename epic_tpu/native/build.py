@@ -79,6 +79,18 @@ def _declare(lib: ctypes.CDLL) -> None:
         i32p, i32p, c.c_int32, i32p, c.c_int32,
     ]
 
+    lib.epic_rans_stream_new.restype = c.c_void_p
+    lib.epic_rans_stream_new.argtypes = [u8p, c.c_int64]
+
+    lib.epic_rans_stream_decode.restype = c.c_int32
+    lib.epic_rans_stream_decode.argtypes = [
+        c.c_void_p, i32p, c.c_int64, u32p, c.c_int64, i32p, i32p,
+        c.c_int32, i32p,
+    ]
+
+    lib.epic_rans_stream_free.restype = None
+    lib.epic_rans_stream_free.argtypes = [c.c_void_p]
+
 
 def load_library() -> ctypes.CDLL:
     global _LIB

@@ -381,4 +381,71 @@ int32_t epic_rans_decode_batch(const uint8_t* data, const int64_t* data_offsets,
     return err.load();
 }
 
+// -- stateful streaming decoder ---------------------------------------
+// Semantics of the reference's RansDecoder.set_stream/decode_stream
+// (used by the buffered single-stream codec, reference cnn.py:303-345):
+// one rANS state persists across chunk decodes so entropy parameters for
+// chunk k+1 can be computed from chunk k's decoded symbols.
+
+struct EpicRansStream {
+    std::vector<uint32_t> words;
+    RansDecState st;
+};
+
+void* epic_rans_stream_new(const uint8_t* data, int64_t nbytes) {
+    if (nbytes < 8 || (nbytes % 4) != 0) return nullptr;
+    auto* s = new EpicRansStream();
+    s->words.resize(static_cast<size_t>(nbytes / 4));
+    std::memcpy(s->words.data(), data, static_cast<size_t>(nbytes));
+    s->st.init(s->words.data(), s->words.size());
+    return s;
+}
+
+int32_t epic_rans_stream_decode(void* handle, const int32_t* indexes,
+                                int64_t n, const uint32_t* cdfs,
+                                int64_t cdf_stride,
+                                const int32_t* cdf_lengths,
+                                const int32_t* offsets, int32_t precision,
+                                int32_t* symbols_out) {
+    if (handle == nullptr) return -1;
+    auto* s = static_cast<EpicRansStream*>(handle);
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t idx = indexes[i];
+        const uint32_t* cdf = cdfs + idx * cdf_stride;
+        const int32_t cdf_len = cdf_lengths[idx];
+        const int32_t max_sym = cdf_len - 2;
+        const uint32_t cf = s->st.peek(precision);
+        int32_t sym;
+        if (cdf_len > 32) {
+            const uint32_t* hi = std::upper_bound(cdf + 1, cdf + cdf_len, cf);
+            sym = static_cast<int32_t>(hi - cdf) - 1;
+        } else {
+            sym = 0;
+            while (cdf[sym + 1] <= cf) ++sym;
+        }
+        s->st.advance(cdf[sym], cdf[sym + 1] - cdf[sym], precision);
+        int32_t value;
+        if (sym == max_sym) {
+            uint32_t ov = 0; int shift = 0;
+            while (true) {
+                uint32_t nib = s->st.get_bits(BYPASS_NIBBLE);
+                uint32_t more = s->st.get_bits(1);
+                ov |= nib << shift;
+                shift += BYPASS_NIBBLE;
+                if (!more) break;
+            }
+            if (ov & 1u) value = -static_cast<int32_t>(ov >> 1) - 1;
+            else value = static_cast<int32_t>(ov >> 1) + max_sym;
+        } else {
+            value = sym;
+        }
+        symbols_out[i] = value + offsets[idx];
+    }
+    return 0;
+}
+
+void epic_rans_stream_free(void* handle) {
+    delete static_cast<EpicRansStream*>(handle);
+}
+
 }  // extern "C"

@@ -13,6 +13,7 @@ from .mesh import (
     make_parallel_train_step,
     make_parallel_eval_step,
 )
+from .distributed import init_multihost, local_shard
 
 __all__ = [
     "make_mesh",
@@ -20,4 +21,6 @@ __all__ = [
     "shard_batch",
     "make_parallel_train_step",
     "make_parallel_eval_step",
+    "init_multihost",
+    "local_shard",
 ]

@@ -16,7 +16,8 @@ from .stages import StagePlan, make_stage, trainable_mask
 from .state import TrainState, create_train_state
 from .step import make_train_step, make_eval_step, valid_epoch, test_epoch
 from .evaluate import compress_with_ac, rd_sweep
-from .checkpoint import save_checkpoint, load_checkpoint
+from .checkpoint import (save_checkpoint, load_checkpoint,
+                         remap_single_to_multi, merge_params)
 
 __all__ = [
     "scalable_rate_distortion_loss", "rate_distortion_loss",
@@ -26,4 +27,5 @@ __all__ = [
     "make_train_step", "make_eval_step", "valid_epoch", "test_epoch",
     "compress_with_ac", "rd_sweep",
     "save_checkpoint", "load_checkpoint",
+    "remap_single_to_multi", "merge_params",
 ]

@@ -36,6 +36,49 @@ def save_checkpoint(directory: str, params, config: Dict[str, Any],
     ckptr.wait_until_finished()
 
 
+def remap_single_to_multi(single_params, enhanced_params=None):
+    """Map a single-branch checkpoint's subtrees onto multi-branch names
+    (reference initialize_model_from_pretrained, functions.py:107-164):
+    g_a -> g_a_0, g_s -> g_s_0, h_mean_s -> h_mean_s_0,
+    h_scale_s -> h_scale_s_0; cc_/lrp_/entropy subtrees kept as-is; h_a
+    dropped (retrained); optional enhanced checkpoint's g_s -> g_s_1.
+    Returns a partial params dict to merge into a fresh multi-branch init.
+    """
+    out: Dict[str, Any] = {}
+    for key, sub in single_params.items():
+        if key == "g_a":
+            out["g_a_0"] = sub
+        elif key == "g_s":
+            out["g_s_0"] = sub
+        elif key == "h_mean_s":
+            out["h_mean_s_0"] = sub
+        elif key == "h_scale_s":
+            out["h_scale_s_0"] = sub
+        elif key == "h_a":
+            continue
+        else:
+            out[key] = sub
+    if enhanced_params is not None and "g_s" in enhanced_params:
+        out["g_s_1"] = enhanced_params["g_s"]
+    return out
+
+
+def merge_params(template, partial):
+    """Overlay `partial` subtrees onto a freshly-initialized `template`
+    wherever paths+shapes match (strict=False load analog)."""
+    import jax.tree_util as jtu
+
+    flat_p = dict(jtu.tree_flatten_with_path(partial)[0])
+    leaves = []
+    for path, val in jtu.tree_flatten_with_path(template)[0]:
+        cand = flat_p.get(path)
+        if cand is not None and cand.shape == val.shape:
+            leaves.append(cand)
+        else:
+            leaves.append(val)
+    return jtu.tree_unflatten(jtu.tree_structure(template), leaves)
+
+
 def load_checkpoint(directory: str, which: str = "last",
                     config_overrides: Optional[Dict[str, Any]] = None):
     """Returns (model, params, config, step). The model is rebuilt from the
