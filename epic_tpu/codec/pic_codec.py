@@ -296,9 +296,15 @@ class PICCodec:
 
     def compress(self, x, quality: float = 0.0,
                  return_latents: bool = False,
-                 checkpoint_rep=None) -> Dict[str, Any]:
+                 checkpoint_rep=None,
+                 buffered: bool = False) -> Dict[str, Any]:
         """x: [B,H,W,3] float in [0,1], H,W % 64 == 0. Returns the
-        bitstream dict (strings layout mirrors reference pic.py:756,833)."""
+        bitstream dict (strings layout mirrors reference pic.py:756,833).
+
+        buffered=True emits ONE y-stream per image covering all slices
+        (reference WACNN's BufferedRansEncoder, cnn.py:244-281) instead of
+        per-slice messages; decompress detects the layout from the dict.
+        """
         v = self.variables
         x = jnp.asarray(x)
         y, z_sym_dev = self._p_front()(v, x, self._z_med_dev)
@@ -331,13 +337,23 @@ class PICCodec:
         # host encode over ns0*B messages
         sym_np = np.asarray(jax.device_get(jnp.stack(sym_host)))
         idx_np = np.asarray(jax.device_get(jnp.stack(idx_host)))
-        for i in range(self.model.ns0):
-            y_strings.append(self._encode_slice(sym_np[i], idx_np[i]))
+        if buffered and quality <= 0:
+            # one stream per image over all slices: concat along the slice
+            # axis per batch item, single batched encode
+            b = sym_np.shape[1]
+            sym_b = sym_np.transpose(1, 0, 2, 3, 4).reshape(b, -1)
+            idx_b = idx_np.transpose(1, 0, 2, 3, 4).reshape(b, -1)
+            y_strings = [self.y_coder.encode_batch(
+                sym_b.ravel(), idx_b.ravel(), [sym_b.shape[1]] * b)]
+        else:
+            for i in range(self.model.ns0):
+                y_strings.append(self._encode_slice(sym_np[i], idx_np[i]))
 
         out: Dict[str, Any] = {
             "strings": [y_strings, z_strings],
             "shape": tuple(int(s) for s in z_shape),
             "quality": float(quality),
+            "buffered": bool(buffered and quality <= 0),
         }
         if quality <= 0:
             if return_latents:
@@ -391,17 +407,33 @@ class PICCodec:
         lm_b = lm[..., :self.model.division[0]]
         ls_b = ls[..., :self.model.division[0]]
 
+        buffered = bool(bitstream.get("buffered"))
+        streams = None
+        if buffered:
+            streams = [self.y_coder.stream_decoder(s)
+                       for s in y_strings[0]]
+
         y_hat_slices: List[jnp.ndarray] = []
         mus_b, scales_b = [], []
         for i in range(self.model.ns0):
             mu, scale, idx, msup = self._p_base_params(i)(
                 v, lm_b, ls_b, tuple(y_hat_slices))
             idx_np = np.asarray(jax.device_get(idx))
-            sym = self._decode_slice(y_strings[i], idx_np)
+            if buffered:
+                sym = np.stack([
+                    streams[bi].decode_stream(idx_np[bi]).reshape(
+                        idx_np[bi].shape)
+                    for bi in range(idx_np.shape[0])
+                ])
+            else:
+                sym = self._decode_slice(y_strings[i], idx_np)
             y_hat = self._p_base_finish(i)(v, jnp.asarray(sym), mu, msup)
             y_hat_slices.append(y_hat)
             mus_b.append(mu)
             scales_b.append(scale)
+        if streams:
+            for s in streams:
+                s.close()
 
         if quality <= 0:
             x_hat, y_hat_b = self._p_synth_base()(v, tuple(y_hat_slices))

@@ -129,3 +129,36 @@ class TestRansRoundTrip:
         h = -sum(p * math.log2(p) for p in gauss_pmf(3.0, L) if p > 0)
         measured = len(blob) * 8 / sym.size
         assert measured < h * 1.02 + 0.02  # within 2% of Shannon
+
+
+class TestBufferedStream:
+    """Buffered single-stream encode + stateful chunked decode (reference
+    BufferedRansEncoder / RansDecoder.decode_stream, cnn.py:244-345)."""
+
+    def test_chunked_roundtrip_and_single_shot_parity(self, coder):
+        rng = np.random.default_rng(11)
+        enc = coder.buffered_encoder()
+        chunks = []
+        for _ in range(7):
+            n = int(rng.integers(100, 3000))
+            idx = rng.integers(0, 6, n).astype(np.int32)
+            scales = np.array([0.11, 0.5, 1.0, 3.0, 8.0, 20.0])[idx]
+            sym = np.round(rng.normal(0, scales * 1.3)).astype(np.int32)
+            enc.encode_with_indexes(sym, idx)
+            chunks.append((sym, idx))
+        blob = enc.flush()
+        # byte-identical to one-shot encoding of the concatenation
+        all_sym = np.concatenate([c[0] for c in chunks])
+        all_idx = np.concatenate([c[1] for c in chunks])
+        assert blob == coder.encode_with_indexes(all_sym, all_idx)
+        # chunked stateful decode reproduces every chunk
+        dec = coder.stream_decoder(blob)
+        for sym, idx in chunks:
+            np.testing.assert_array_equal(dec.decode_stream(idx), sym)
+        dec.close()
+
+    def test_stream_decoder_rejects_garbage(self, coder):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            coder.stream_decoder(b"abc")
