@@ -21,7 +21,6 @@ with the TPU-native device<->host choreography from SURVEY.md §2.4/§3E:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax

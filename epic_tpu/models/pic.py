@@ -25,7 +25,7 @@ TPU-native restructuring (vs the reference's per-quality Python loops):
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ phase follow JAX conventions — this framework trains its own checkpoints.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 

@@ -55,3 +55,33 @@ class GDN(nn.Module):
         if self.inverse:
             return x * jnp.sqrt(norm)
         return x * jax.lax.rsqrt(norm)
+
+
+class GDN1(nn.Module):
+    """Simplified GDN (Johnston et al. 2019): y = x / (beta + |x| @ gamma)
+    (reference: gdn.py:78-105; present in the reference layer library,
+    unused by its models)."""
+
+    channels: int
+    inverse: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.channels
+        beta = self.param(
+            "beta",
+            lambda key, shape: nn_param_init(jnp.ones(shape), _BETA_MIN),
+            (c,),
+        )
+        gamma = self.param(
+            "gamma",
+            lambda key, shape: nn_param_init(
+                _GAMMA_INIT * jnp.eye(shape[0]), 0.0),
+            (c, c),
+        )
+        beta = nn_param_apply(beta, _BETA_MIN)
+        gamma = nn_param_apply(gamma, 0.0)
+        norm = jnp.einsum("bhwj,ji->bhwi", jnp.abs(x), gamma) + beta
+        if self.inverse:
+            return x * norm
+        return x / norm

@@ -8,7 +8,6 @@ variance attention mask, residually refines the progressive entropy params.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

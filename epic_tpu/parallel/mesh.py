@@ -8,7 +8,7 @@ no distributed layer to translate (SURVEY.md §2.8).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ decode wall-time; bpp counted from real string lengths.
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ first) or [B,H,W,3]; target is [B,H,W,3].
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 

@@ -9,7 +9,7 @@ the 'first_strain' typo at functions.py:56 — documented divergence).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import optax

@@ -9,8 +9,7 @@ optax chain; the noise rng is explicit.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

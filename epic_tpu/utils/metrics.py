@@ -13,7 +13,7 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 

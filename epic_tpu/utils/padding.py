@@ -4,7 +4,6 @@ utility/functions.py:191-218, used to pad inputs to /64)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def compute_padding(in_h: int, in_w: int, *, out_h=None, out_w=None,
