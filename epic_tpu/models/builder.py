@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import GDN, SubpelConv, WinNoShiftAttention, conv, conv3x3, deconv
@@ -22,21 +23,23 @@ class AnalysisTransform(nn.Module):
 
     n: int
     out_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        n = self.n
-        x = conv(n)(x)
+        n, dt = self.n, self.dtype
+        x = conv(n, dtype=dt)(x)
         x = GDN(n)(x)
-        x = conv(n)(x)
+        x = conv(n, dtype=dt)(x)
         x = GDN(n)(x)
-        x = WinNoShiftAttention(n, num_heads=8, window=8, shift=4)(x)
-        x = conv(n)(x)
+        x = WinNoShiftAttention(n, num_heads=8, window=8, shift=4,
+                                dtype=dt)(x)
+        x = conv(n, dtype=dt)(x)
         x = GDN(n)(x)
-        x = conv(self.out_dim)(x)
+        x = conv(self.out_dim, dtype=dt)(x)
         x = WinNoShiftAttention(self.out_dim, num_heads=8, window=4,
-                                shift=2)(x)
-        return x
+                                shift=2, dtype=dt)(x)
+        return x.astype(jnp.float32)
 
 
 class SynthesisTransform(nn.Module):
@@ -44,71 +47,80 @@ class SynthesisTransform(nn.Module):
 
     n: int
     in_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        n = self.n
+        n, dt = self.n, self.dtype
         x = WinNoShiftAttention(self.in_dim, num_heads=8, window=4,
-                                shift=2)(x)
-        x = deconv(n)(x)
+                                shift=2, dtype=dt)(x)
+        x = deconv(n, dtype=dt)(x)
         x = GDN(n, inverse=True)(x)
-        x = deconv(n)(x)
+        x = deconv(n, dtype=dt)(x)
         x = GDN(n, inverse=True)(x)
-        x = WinNoShiftAttention(n, num_heads=8, window=8, shift=4)(x)
-        x = deconv(n)(x)
+        x = WinNoShiftAttention(n, num_heads=8, window=8, shift=4,
+                                dtype=dt)(x)
+        x = deconv(n, dtype=dt)(x)
         x = GDN(n, inverse=True)(x)
-        x = deconv(3)(x)
-        return x
+        x = deconv(3, dtype=dt)(x)
+        return x.astype(jnp.float32)
 
 
 class HyperAnalysis(nn.Module):
     """h_a: y [B,h,w,M] -> z [B,h/4,w/4,N]."""
 
     n: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = conv3x3(320)(x)
+        dt = self.dtype
+        x = conv3x3(320, dtype=dt)(x)
         x = jax.nn.gelu(x)
-        x = conv3x3(288)(x)
+        x = conv3x3(288, dtype=dt)(x)
         x = jax.nn.gelu(x)
-        x = conv3x3(256, stride=2)(x)
+        x = conv3x3(256, stride=2, dtype=dt)(x)
         x = jax.nn.gelu(x)
-        x = conv3x3(224)(x)
+        x = conv3x3(224, dtype=dt)(x)
         x = jax.nn.gelu(x)
-        x = conv3x3(self.n, stride=2)(x)
-        return x
+        x = conv3x3(self.n, stride=2, dtype=dt)(x)
+        return x.astype(jnp.float32)
 
 
 class HyperSynthesis(nn.Module):
     """h_s branch: z_hat [B,h/4,w/4,N] -> params [B,h,w,out_dim]."""
 
     out_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = conv3x3(192)(x)
+        dt = self.dtype
+        x = conv3x3(192, dtype=dt)(x)
         x = jax.nn.gelu(x)
-        x = SubpelConv(224, 2)(x)
+        x = SubpelConv(224, 2, dtype=dt)(x)
         x = jax.nn.gelu(x)
-        x = conv3x3(256)(x)
+        x = conv3x3(256, dtype=dt)(x)
         x = jax.nn.gelu(x)
-        x = SubpelConv(288, 2)(x)
+        x = SubpelConv(288, 2, dtype=dt)(x)
         x = jax.nn.gelu(x)
-        x = conv3x3(self.out_dim)(x)
-        return x
+        x = conv3x3(self.out_dim, dtype=dt)(x)
+        return x.astype(jnp.float32)
 
 
 class ParamNet(nn.Module):
     """Per-slice entropy-parameter head: 3x3 conv stack 224-176-128-64-32
-    with GELU (reference: pic.py:83-164)."""
+    with GELU (reference: pic.py:83-164). Output is always float32 —
+    entropy parameters feed masks/likelihoods/CDF indexing."""
 
     out_dim: int = 32
     widths: Sequence[int] = (224, 176, 128, 64)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         for w in self.widths:
-            x = conv3x3(w)(x)
+            x = conv3x3(w, dtype=self.dtype)(x)
             x = jax.nn.gelu(x)
-        return conv3x3(self.out_dim)(x)
+        return conv3x3(self.out_dim, dtype=self.dtype)(x).astype(
+            jnp.float32)

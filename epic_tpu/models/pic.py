@@ -65,6 +65,11 @@ class VarianceMaskingPIC(nn.Module):
     # widths of the per-slice entropy-parameter heads; the reference's
     # 224-176-128-64 stack by default, shrinkable for tiny test configs
     param_net_widths: Sequence[int] = (224, 176, 128, 64)
+    # conv/attention computation dtype: "float32" (safe default) or
+    # "bfloat16" (MXU throughput). Entropy parameters, GDN math, masks and
+    # likelihoods always stay float32; enc/dec bit-identity is preserved
+    # either way because both sides run the same compiled programs.
+    compute_dtype: str = "float32"
 
     # ---- derived sizes ----
     @property
@@ -81,43 +86,47 @@ class VarianceMaskingPIC(nn.Module):
 
     def setup(self):
         d0 = self.division[0]
+        dt = None if self.compute_dtype == "float32" else \
+            jnp.dtype(self.compute_dtype)
         if self.multiple_encoder:
-            self.g_a = [AnalysisTransform(self.n, d0, name=f"g_a_{i}")
+            self.g_a = [AnalysisTransform(self.n, d0, dt, name=f"g_a_{i}")
                         for i in range(2)]
         else:
-            self.g_a = AnalysisTransform(self.n, self.m, name="g_a")
+            self.g_a = AnalysisTransform(self.n, self.m, dt, name="g_a")
         if self.multiple_decoder:
-            self.g_s = [SynthesisTransform(self.n, d0, name=f"g_s_{i}")
+            self.g_s = [SynthesisTransform(self.n, d0, dt, name=f"g_s_{i}")
                         for i in range(2)]
         else:
-            self.g_s = SynthesisTransform(self.n, d0, name="g_s")
-        self.h_a = HyperAnalysis(self.n, name="h_a")
+            self.g_s = SynthesisTransform(self.n, d0, dt, name="g_s")
+        self.h_a = HyperAnalysis(self.n, dt, name="h_a")
         if self.multiple_hyperprior:
-            self.h_mean_s = [HyperSynthesis(d0, name=f"h_mean_s_{i}")
+            self.h_mean_s = [HyperSynthesis(d0, dt, name=f"h_mean_s_{i}")
                              for i in range(2)]
-            self.h_scale_s = [HyperSynthesis(d0, name=f"h_scale_s_{i}")
+            self.h_scale_s = [HyperSynthesis(d0, dt, name=f"h_scale_s_{i}")
                               for i in range(2)]
         else:
-            self.h_mean_s = HyperSynthesis(self.m, name="h_mean_s")
-            self.h_scale_s = HyperSynthesis(self.m, name="h_scale_s")
+            self.h_mean_s = HyperSynthesis(self.m, dt, name="h_mean_s")
+            self.h_scale_s = HyperSynthesis(self.m, dt, name="h_scale_s")
 
         ns0 = self.ns0
         nprog = self.ns1 - self.ns0
         pw = tuple(self.param_net_widths)
-        self.cc_mean = [ParamNet(self.dim_chunk, pw, name=f"cc_mean_{i}")
+        self.cc_mean = [ParamNet(self.dim_chunk, pw, dt, name=f"cc_mean_{i}")
                         for i in range(ns0)]
-        self.cc_scale = [ParamNet(self.dim_chunk, pw, name=f"cc_scale_{i}")
-                         for i in range(ns0)]
-        self.lrp = [ParamNet(self.dim_chunk, pw, name=f"lrp_{i}")
+        self.cc_scale = [
+            ParamNet(self.dim_chunk, pw, dt, name=f"cc_scale_{i}")
+            for i in range(ns0)]
+        self.lrp = [ParamNet(self.dim_chunk, pw, dt, name=f"lrp_{i}")
                     for i in range(ns0)]
         self.cc_mean_prog = [
-            ParamNet(self.dim_chunk, pw, name=f"cc_mean_prog_{i}")
+            ParamNet(self.dim_chunk, pw, dt, name=f"cc_mean_prog_{i}")
             for i in range(nprog)]
         self.cc_scale_prog = [
-            ParamNet(self.dim_chunk, pw, name=f"cc_scale_prog_{i}")
+            ParamNet(self.dim_chunk, pw, dt, name=f"cc_scale_prog_{i}")
             for i in range(nprog)]
-        self.lrp_prog = [ParamNet(self.dim_chunk, pw, name=f"lrp_prog_{i}")
-                         for i in range(ns0)]
+        self.lrp_prog = [
+            ParamNet(self.dim_chunk, pw, dt, name=f"lrp_prog_{i}")
+            for i in range(ns0)]
         self.entropy_bottleneck = EntropyBottleneck(self.n,
                                                     name="entropy_bottleneck")
 

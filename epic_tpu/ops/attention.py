@@ -73,6 +73,7 @@ class WindowAttention(nn.Module):
     dim: int
     window: int
     num_heads: int = 8
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, mask: np.ndarray | None = None):
@@ -82,7 +83,8 @@ class WindowAttention(nn.Module):
         head_dim = c // heads
         scale = head_dim ** -0.5
 
-        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
+        qkv = nn.Dense(3 * c, use_bias=True, name="qkv",
+                       dtype=self.dtype)(x)
         qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]            # [B_, heads, n, hd]
 
@@ -102,11 +104,12 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(b_ // nw, nw, heads, n, n)
             attn = attn + jnp.asarray(mask)[None, :, None]
             attn = attn.reshape(b_, heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.astype(v.dtype)
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(c, name="proj")(out)
+        return nn.Dense(c, name="proj", dtype=self.dtype)(out)
 
 
 class WinBasedAttention(nn.Module):
@@ -117,6 +120,7 @@ class WinBasedAttention(nn.Module):
     num_heads: int = 8
     window: int = 8
     shift: int = 0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -129,7 +133,7 @@ class WinBasedAttention(nn.Module):
             mask = None
         xw = window_partition(x, self.window)
         xw = WindowAttention(self.dim, self.window, self.num_heads,
-                             name="attn")(xw, mask)
+                             self.dtype, name="attn")(xw, mask)
         x = window_reverse(xw, self.window, h, w)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
@@ -141,15 +145,16 @@ class ResidualUnit(nn.Module):
     (reference: layers.py:30-48)."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         n = self.features
-        y = conv1x1(n // 2)(x)
+        y = conv1x1(n // 2, dtype=self.dtype)(x)
         y = jax.nn.gelu(y)
-        y = conv3x3(n // 2)(y)
+        y = conv3x3(n // 2, dtype=self.dtype)(y)
         y = jax.nn.gelu(y)
-        y = conv1x1(n)(y)
+        y = conv1x1(n, dtype=self.dtype)(y)
         return jax.nn.gelu(x + y)
 
 
@@ -161,16 +166,17 @@ class WinNoShiftAttention(nn.Module):
     num_heads: int = 8
     window: int = 8
     shift: int = 0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         n = self.dim
         a = x
         for i in range(3):
-            a = ResidualUnit(n, name=f"trunk_{i}")(a)
+            a = ResidualUnit(n, self.dtype, name=f"trunk_{i}")(a)
         b = WinBasedAttention(n, self.num_heads, self.window, self.shift,
-                              name="attn_block")(x)
+                              self.dtype, name="attn_block")(x)
         for i in range(3):
-            b = ResidualUnit(n, name=f"branch_{i}")(b)
-        b = conv1x1(n)(b)
+            b = ResidualUnit(n, self.dtype, name=f"branch_{i}")(b)
+        b = conv1x1(n, dtype=self.dtype)(b)
         return x + a * jax.nn.sigmoid(b)

@@ -11,7 +11,8 @@ from __future__ import annotations
 from flax import linen as nn
 
 
-def conv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.Conv:
+def conv(features: int, kernel_size: int = 5, stride: int = 2,
+         dtype=None) -> nn.Conv:
     """k x k conv with PyTorch-style p = k//2 padding (out = ceil(in/s))."""
     p = kernel_size // 2
     return nn.Conv(
@@ -19,26 +20,30 @@ def conv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.Conv:
         (kernel_size, kernel_size),
         strides=(stride, stride),
         padding=[(p, p), (p, p)],
+        dtype=dtype,
     )
 
 
-def deconv(features: int, kernel_size: int = 5, stride: int = 2) -> nn.ConvTranspose:
+def deconv(features: int, kernel_size: int = 5, stride: int = 2,
+           dtype=None) -> nn.ConvTranspose:
     """Transposed conv that exactly multiplies spatial dims by `stride`."""
     return nn.ConvTranspose(
         features,
         (kernel_size, kernel_size),
         strides=(stride, stride),
         padding="SAME",
+        dtype=dtype,
     )
 
 
-def conv1x1(features: int, stride: int = 1) -> nn.Conv:
-    return nn.Conv(features, (1, 1), strides=(stride, stride), padding="VALID")
+def conv1x1(features: int, stride: int = 1, dtype=None) -> nn.Conv:
+    return nn.Conv(features, (1, 1), strides=(stride, stride),
+                   padding="VALID", dtype=dtype)
 
 
-def conv3x3(features: int, stride: int = 1) -> nn.Conv:
+def conv3x3(features: int, stride: int = 1, dtype=None) -> nn.Conv:
     return nn.Conv(features, (3, 3), strides=(stride, stride),
-                   padding=[(1, 1), (1, 1)])
+                   padding=[(1, 1), (1, 1)], dtype=dtype)
 
 
 class SubpelConv(nn.Module):
@@ -46,12 +51,13 @@ class SubpelConv(nn.Module):
 
     features: int
     r: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, _ = x.shape
         r = self.r
-        y = conv3x3(self.features * r * r)(x)
+        y = conv3x3(self.features * r * r, dtype=self.dtype)(x)
         # depth_to_space: [B,H,W,C*r^2] -> [B,H*r,W*r,C]
         y = y.reshape(b, h, w, r, r, self.features)
         y = y.transpose(0, 1, 3, 2, 4, 5)

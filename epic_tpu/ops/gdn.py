@@ -43,18 +43,19 @@ class GDN(nn.Module):
         beta = nn_param_apply(beta, _BETA_MIN)
         gamma = nn_param_apply(gamma, 0.0)
 
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # normalization math stays f32
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() in ("tpu", "axon")
         if use_pallas:
             from .pallas_gdn import gdn_pallas
 
-            return gdn_pallas(x, gamma, beta, self.inverse)
+            return gdn_pallas(x, gamma, beta, self.inverse).astype(in_dtype)
         # norm[..., i] = beta[i] + sum_j x^2[..., j] * gamma[j, i]
         norm = jnp.einsum("bhwj,ji->bhwi", jnp.square(x), gamma) + beta
-        if self.inverse:
-            return x * jnp.sqrt(norm)
-        return x * jax.lax.rsqrt(norm)
+        out = x * jnp.sqrt(norm) if self.inverse else x * jax.lax.rsqrt(norm)
+        return out.astype(in_dtype)
 
 
 class GDN1(nn.Module):
