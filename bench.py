@@ -11,10 +11,10 @@ base stream + 15 delta shells, then incrementally decodes every level
 
 Baseline: the reference publishes no throughput numbers (BASELINE.json
 "published": {}); its target line is ">=10x CPU-reference encode+decode
-throughput on a full Kodak RD sweep". We take 1.0 img/s on the full sweep
-as the nominal baseline (10x an assumed ~0.1 img/s CPU-reference sweep),
-so vs_baseline >= 1.0 means the 10x target is met. Refine once a measured
-CPU-reference number exists.
+throughput on a full Kodak RD sweep". Measured on this box (2026-08-16,
+CPU backend, same workload/code): 0.015 img/s. Using that as the
+CPU-reference proxy, the 10x target is 0.15 img/s — the baseline below —
+so vs_baseline >= 1.0 means the 10x target is met.
 """
 
 import json
@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_IMG_PER_S = 1.0
+BASELINE_IMG_PER_S = 0.15  # 10x the measured CPU-backend sweep throughput
 Q_LIST = [0.01, 0.05, 0.1, 0.25, 0.5, 0.6, 0.7, 0.8, 0.9, 1, 2, 3, 4,
           4.5, 10]
 N_IMAGES = int(os.environ.get("BENCH_IMAGES", "4"))

@@ -102,6 +102,13 @@ def main(argv=None):
                                  y_checkpoints=y_checkpoints)
         x_hat = unpad_image(out["x_hat"], unpad)
         psnr = compute_psnr(x, x_hat)
+        if args.save_recon:
+            from PIL import Image
+
+            arr = (np.clip(np.asarray(x_hat[0]), 0, 1) * 255).astype(
+                np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(args.save_path, f"recon_level{q_ind:02d}.png"))
         if q_ind > 0:
             cum_bits = bits[0] + bits[1] + sum(bits[2][:q_ind])
         label = "base" if q_ind == 0 else f"q={args.q_levs[q_ind-1]}"

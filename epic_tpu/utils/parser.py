@@ -89,7 +89,9 @@ def parse_demo_args(argv=None) -> argparse.Namespace:
                             1, 2, 3, 4, 4.5, 10])
     p.add_argument("--requested_levels", type=int, nargs="+", default=None)
     p.add_argument("--save_path", default="./demo_out")
-    # tiny-model knobs for running without a trained checkpoint
+    p.add_argument("--save_recon", action="store_true", default=False,
+                   help="write per-level reconstruction PNGs to save_path")
+    # tiny-model knob for running without a trained checkpoint
     p.add_argument("--tiny", action="store_true", default=False)
     return p.parse_args(argv)
 
