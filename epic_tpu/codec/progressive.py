@@ -45,6 +45,25 @@ def _p_shell_masks(codec: PICCodec, q_list_key):
     return codec._prog(("shell_masks", q_list_key), make)
 
 
+def _p_shell_ids(codec: PICCodec, q_list_key):
+    """Jitted: per-element shell id [S,B,h,w,c] int8 — the index of the
+    quality shell that first admits each element (len(q_list) if never
+    admitted). Shells are disjoint and monotone, so this one compact map
+    replaces the Q stacked delta masks — a Qx smaller device->host
+    transfer over the tunnel."""
+    def make():
+        q_list = list(q_list_key)
+
+        def f(scale_s):
+            masks = jnp.stack([prog_mask(scale_s, q) for q in q_list])
+            admitted = masks.sum(0)  # number of ladders including elem
+            # first admitting shell = Q - admitted (masks are nested)
+            sid = (len(q_list) - admitted).astype(jnp.int8)
+            return sid
+        return f
+    return codec._prog(("shell_ids", q_list_key), make)
+
+
 def progressive_encode(codec: PICCodec, x,
                        q_list: Optional[Sequence[float]] = None,
                        rems: bool = False,
@@ -85,24 +104,27 @@ def progressive_encode(codec: PICCodec, x,
             v, base_slices, lm, ls)
     sym_full = codec._p_prog_sym()(y, mu_s, mask1)
 
-    deltas = _p_shell_masks(codec, tuple(q_list))(scale_s)
+    sid = _p_shell_ids(codec, tuple(q_list))(scale_s)
 
     sym_np = np.asarray(jax.device_get(sym_full))      # [S,B,h,w,c]
     idx_np = np.asarray(jax.device_get(idx_full))
-    deltas_np = np.asarray(jax.device_get(deltas)).astype(np.int32)
+    sid_np = np.asarray(jax.device_get(sid))           # int8, Qx smaller
 
     b = sym_np.shape[1]
-    shells: List[List[bytes]] = []
-    bits_prog: List[float] = []
-    for j in range(len(q_list)):
-        d = deltas_np[j]
-        sym_j = (sym_np * d).transpose(1, 0, 2, 3, 4)   # [B,S,h,w,c]
-        idx_j = (idx_np * d).transpose(1, 0, 2, 3, 4)
-        per = sym_j[0].size
-        blobs = codec.y_coder.encode_batch(
-            sym_j.reshape(-1), idx_j.reshape(-1), [per] * b)
-        shells.append(blobs)
-        bits_prog.append(sum(len(bl) for bl in blobs) * 8.0)
+    nq = len(q_list)
+    # mask every shell at once and encode ALL (shell x image) messages in
+    # ONE batched multi-threaded host call
+    deltas_np = (sid_np[None] ==
+                 np.arange(nq, dtype=np.int8).reshape(-1, 1, 1, 1, 1, 1))
+    sym_all = (sym_np[None] * deltas_np).transpose(0, 2, 1, 3, 4, 5)
+    idx_all = (idx_np[None] * deltas_np).transpose(0, 2, 1, 3, 4, 5)
+    per = sym_all[0, 0].size
+    blobs = codec.y_coder.encode_batch(
+        sym_all.reshape(-1), idx_all.reshape(-1), [per] * (nq * b))
+    shells: List[List[bytes]] = [
+        blobs[j * b:(j + 1) * b] for j in range(nq)]
+    bits_prog: List[float] = [
+        sum(len(bl) for bl in shell) * 8.0 for shell in shells]
 
     bitstreams = {
         "q_list": q_list,
@@ -172,29 +194,35 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
         else:
             mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(
                 10.0)(v, base_slices, lm, ls)
-        deltas = _p_shell_masks(codec, tuple(q_list))(scale_s)
+        sid = _p_shell_ids(codec, tuple(q_list))(scale_s)
         cache["entropy"] = (
             mu_s, msups,
             np.asarray(jax.device_get(idx_full)),
-            np.asarray(jax.device_get(deltas)).astype(np.int32),
+            np.asarray(jax.device_get(sid)),
         )
         cache["canvas"] = None
         cache["decoded_upto"] = 0
-    mu_s, msups, idx_np, deltas_np = cache["entropy"]
+    mu_s, msups, idx_np, sid_np = cache["entropy"]
 
     if cache["canvas"] is None:
         cache["canvas"] = np.zeros(idx_np.shape, np.int32)
     canvas = cache["canvas"]
     b = idx_np.shape[1]
-    for j in range(cache["decoded_upto"], q_ind):
-        d = deltas_np[j]
-        idx_j = (idx_np * d).transpose(1, 0, 2, 3, 4)
-        per = idx_j[0].size
+    j0 = cache["decoded_upto"]
+    if q_ind > j0:
+        # decode every newly-required shell in ONE batched host call
+        d = (sid_np[None] == np.arange(j0, q_ind, dtype=np.int8)
+             .reshape(-1, 1, 1, 1, 1, 1))            # [J,S,B,h,w,c]
+        idx_j = (idx_np[None] * d).transpose(0, 2, 1, 3, 4, 5)
+        per = idx_j[0, 0].size
+        datas = [bl for j in range(j0, q_ind)
+                 for bl in bitstreams["progressive"][j]]
+        nmsg = (q_ind - j0) * b
         sym = codec.y_coder.decode_batch(
-            bitstreams["progressive"][j], idx_j.reshape(-1), [per] * b)
-        sym = sym.reshape(idx_j.shape).transpose(1, 0, 2, 3, 4)
-        canvas += sym * d
-    cache["decoded_upto"] = max(cache["decoded_upto"], q_ind)
+            datas, idx_j.reshape(-1), [per] * nmsg)
+        sym = sym.reshape(idx_j.shape).transpose(0, 2, 1, 3, 4, 5)
+        canvas += (sym * d).sum(axis=0)
+        cache["decoded_upto"] = q_ind
 
     x_hat, y_prog = codec._p_prog_reconstruct()(
         v, jnp.asarray(canvas), mu_s, msups, base_slices)
