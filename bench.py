@@ -72,8 +72,8 @@ def main():
     _enable_compile_cache()
 
     from epic_tpu.models import get_model
-    from epic_tpu.codec import PICCodec, progressive_decode, \
-        progressive_encode
+    from epic_tpu.codec import (PICCodec, progressive_decode_all,
+                                progressive_encode)
 
     t_all = time.time()
     # bfloat16 transforms (entropy math stays f32) — measured 1.4x over
@@ -94,30 +94,35 @@ def main():
     rng = np.random.default_rng(0)
     images = synth_images(N_IMAGES + 1, rng)
 
-    # warmup: compile encode + all decode programs
+    @jax.jit
+    def per_level_psnr(x_hat, x):
+        mse = jnp.mean((x_hat - x[None]) ** 2, axis=(1, 2, 3, 4))
+        return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+    # warmup: compile encode + the all-levels decode program
     t0 = time.time()
     x = jnp.asarray(images[0])[None]
     bs, _ = progressive_encode(codec, x, Q_LIST)
-    cache = {}
-    for j in range(len(Q_LIST) + 1):
-        progressive_decode(codec, bs, j, cache)
+    out = progressive_decode_all(codec, bs)
+    np.asarray(per_level_psnr(out["x_hat"], x))
     log(f"warmup/compile {time.time()-t0:.1f}s")
 
     t0 = time.time()
     total_bits = 0.0
+    psnrs = None
     for img in images[1:]:
         x = jnp.asarray(img)[None]
         bs, bits = progressive_encode(codec, x, Q_LIST)
-        cache = {}
-        for j in range(len(Q_LIST) + 1):
-            out = progressive_decode(codec, bs, j, cache)
-        np.asarray(out["x_hat"])
+        out = progressive_decode_all(codec, bs)
+        # the sweep's deliverable: per-level PSNR, computed on device
+        psnrs = np.asarray(per_level_psnr(out["x_hat"], x))
         total_bits += bits[0] + bits[1] + sum(bits[2])
     elapsed = time.time() - t0
     img_per_s = N_IMAGES / elapsed
     log(f"{N_IMAGES} images x {len(Q_LIST)+1} levels in {elapsed:.1f}s; "
         f"top-quality bpp {total_bits/(N_IMAGES*512*768):.3f}; "
-        f"total wall {time.time()-t_all:.0f}s")
+        f"last-image psnr[0/8/16]={psnrs[0]:.2f}/{psnrs[8]:.2f}/"
+        f"{psnrs[-1]:.2f}; total wall {time.time()-t_all:.0f}s")
 
     print(json.dumps({
         "metric": "kodak_progressive_rd_sweep_img_per_s_per_chip",

@@ -2,13 +2,15 @@
 progressive single-bitstream pipeline."""
 
 from .pic_codec import PICCodec
-from .progressive import progressive_encode, progressive_decode
+from .progressive import (progressive_encode, progressive_decode,
+                          progressive_decode_all)
 from .container import dump_bitstreams, load_bitstreams
 
 __all__ = [
     "PICCodec",
     "progressive_encode",
     "progressive_decode",
+    "progressive_decode_all",
     "dump_bitstreams",
     "load_bitstreams",
 ]

@@ -229,6 +229,44 @@ class PICCodec:
             return f
         return self._prog("prog_sym", make)
 
+    def _p_prog_reconstruct_all(self, n_levels: int):
+        """Reconstruct ALL quality levels of a progressive stream in one
+        device program: level l's latent keeps the decoded symbols whose
+        shell id < l (0 = base only). Levels fold into the batch axis for
+        the LRP heads and g_s — one conv pass for the whole RD ladder."""
+        def make():
+            L = n_levels  # prog levels 1..Q (base-only uses g_s[0])
+
+            def f(v, sym_s, sid, mu_s, msups, y_hat_base_slices):
+                lvl = jnp.arange(1, L + 1, dtype=jnp.int32)
+                keep = (sid[None].astype(jnp.int32)
+                        < lvl.reshape(-1, 1, 1, 1, 1, 1))  # [L,S,B,h,w,c]
+                sym_l = sym_s[None] * keep
+                b = sym_s.shape[1]
+                slices = []
+                for i in range(self.model.ns1 - self.model.ns0):
+                    y_hat = sym_l[:, i].astype(jnp.float32) + mu_s[i][None]
+                    flat = y_hat.reshape((L * b,) + y_hat.shape[2:])
+                    msup_rep = jnp.broadcast_to(
+                        msups[i][None], (L,) + msups[i].shape
+                    ).reshape((L * b,) + msups[i].shape[1:])
+                    base_rep = jnp.broadcast_to(
+                        y_hat_base_slices[i][None],
+                        (L,) + y_hat_base_slices[i].shape
+                    ).reshape((L * b,) + y_hat_base_slices[i].shape[1:])
+                    flat = self.model.apply(
+                        v, flat, msup_rep, base_rep, i,
+                        method=VarianceMaskingPIC.finish_prog_slice)
+                    slices.append(flat)
+                y_prog = jnp.concatenate(slices, axis=-1)
+                x = self.model.apply(
+                    v, y_prog, method=VarianceMaskingPIC.synthesize_prog)
+                x = jnp.clip(x, 0.0, 1.0)
+                return (x.reshape((L, b) + x.shape[1:]),
+                        y_prog.reshape((L, b) + y_prog.shape[1:]))
+            return f
+        return self._prog(("prog_reconstruct_all", n_levels), make)
+
     def _p_prog_reconstruct(self):
         def make():
             def f(v, sym_s, mu_s, msups, y_hat_base_slices):

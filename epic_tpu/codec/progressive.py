@@ -228,3 +228,33 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
         v, jnp.asarray(canvas), mu_s, msups, base_slices)
     return {"x_hat": x_hat, "y_hat": y_prog, "cache": cache,
             "decode_time": time.time() - t0}
+
+
+def progressive_decode_all(codec: PICCodec, bitstreams: Dict[str, Any],
+                           rems: bool = False,
+                           y_checkpoints=None) -> Dict[str, Any]:
+    """Decode the WHOLE quality ladder at once: one batched host rANS call
+    for every shell, one device program reconstructing all levels (levels
+    folded into the batch axis). Returns x_hat [1+Q, B, H, W, 3] (base
+    first) — the fast path for full RD sweeps; use progressive_decode for
+    incremental/streaming decoding."""
+    v = codec.variables
+    q_list = bitstreams["q_list"]
+    nq = len(q_list)
+    t0 = time.time()
+
+    # reuse the incremental machinery for hyper + base + entropy caches and
+    # to fill the full canvas in one batched call
+    cache: Dict[str, Any] = {}
+    full = progressive_decode(codec, bitstreams, nq, cache,
+                              rems=rems, y_checkpoints=y_checkpoints)
+    base_slices = cache["base"]
+    mu_s, msups, idx_np, sid_np = cache["entropy"]
+    x_base, _ = codec._p_synth_base()(v, base_slices)
+
+    sym_s = jnp.asarray(cache["canvas"])
+    x_prog, y_prog = codec._p_prog_reconstruct_all(nq)(
+        v, sym_s, jnp.asarray(sid_np), mu_s, msups, base_slices)
+    x_hat = jnp.concatenate([x_base[None], x_prog], axis=0)
+    return {"x_hat": x_hat, "y_prog_top": full["y_hat"],
+            "decode_time": time.time() - t0}

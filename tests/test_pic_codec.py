@@ -185,3 +185,20 @@ class TestProgressiveBitstream:
         bs, bits = progressive_encode(codec, x, [0.5, 2.0, 10.0])
         bits_z, bits_base, bits_prog = bits
         assert all(b > 0 for b in bits_prog)
+
+
+class TestDecodeAll:
+    def test_matches_incremental_decode(self, setup):
+        from epic_tpu.codec import progressive_decode_all
+
+        _, _, x, codec = setup
+        q_list = [0.5, 2.0, 10.0]
+        bs, _ = progressive_encode(codec, x, q_list)
+        allr = progressive_decode_all(codec, bs)
+        assert allr["x_hat"].shape[0] == len(q_list) + 1
+        cache = {}
+        for j in range(len(q_list) + 1):
+            inc = progressive_decode(codec, bs, j, cache)
+            np.testing.assert_allclose(np.asarray(allr["x_hat"][j]),
+                                       np.asarray(inc["x_hat"]),
+                                       atol=1e-5)
