@@ -97,8 +97,10 @@ class PICCodec:
                 mu, scale, msup = self.model.apply(
                     v, lm, ls, list(support), i,
                     method=VarianceMaskingPIC.base_slice_params)
+                # 64 scale buckets -> int8: device->host transfers over the
+                # axon tunnel run at ~MB/s, so every byte counts
                 idx = build_indexes(scale, self._scale_table,
-                                    self.model.scale_bound)
+                                    self.model.scale_bound).astype(jnp.int8)
                 return mu, scale, idx, msup
             return f
         return self._prog(("base_params", i), make)
@@ -106,7 +108,11 @@ class PICCodec:
     def _p_base_sym(self):
         def make():
             def f(y_i, mu):
-                return jnp.round(y_i - mu).astype(jnp.int32)
+                sym = jnp.round(y_i - mu)
+                # int16 + overflow flag: symbols exceed +/-32k only in
+                # pathological cases; the caller re-fetches int32 then
+                flag = (jnp.abs(sym) > 32000).any()
+                return sym.astype(jnp.int16), sym.astype(jnp.int32), flag
             return f
         return self._prog("base_sym", make)
 
@@ -171,7 +177,7 @@ class PICCodec:
                     variance_mask(s, q, self.model.mask_policy)
                     for s in coding_scales])
                 idx = build_indexes(scale_s * mask, self._scale_table,
-                                    self.model.scale_bound)
+                                    self.model.scale_bound).astype(jnp.int8)
                 return mu_s, scale_s, mask, idx, tuple(msups)
             return f
         return self._prog(("prog_params", quality_key, with_ckpt), make)
@@ -208,7 +214,7 @@ class PICCodec:
                 mu_s = jnp.stack(mus)
                 scale_s = jnp.stack(scales)
                 idx = build_indexes(scale_s, self._scale_table,
-                                    self.model.scale_bound)
+                                    self.model.scale_bound).astype(jnp.int8)
                 return mu_s, scale_s, idx, tuple(msups)
             return f
         return self._prog(("prog_params_rem_chain", n_checkpoints), make)
@@ -225,9 +231,18 @@ class PICCodec:
                         r_i = r_i - y[..., i * c:(i + 1) * c]
                     r.append(r_i)
                 r = jnp.stack(r)
-                return jnp.round((r - mu_s) * mask).astype(jnp.int32)
+                sym = jnp.round((r - mu_s) * mask)
+                flag = (jnp.abs(sym) > 32000).any()
+                return sym.astype(jnp.int16), sym.astype(jnp.int32), flag
             return f
         return self._prog("prog_sym", make)
+
+    def _get_sym(self, sym16, sym32, flag) -> np.ndarray:
+        """Fetch symbols over the slow tunnel as int16 unless they overflow
+        (then one int32 re-fetch)."""
+        if bool(jax.device_get(flag)):
+            return np.asarray(jax.device_get(sym32), np.int32)
+        return np.asarray(jax.device_get(sym16)).astype(np.int32)
 
     def _p_prog_reconstruct_all(self, n_levels: int):
         """Reconstruct ALL quality levels of a progressive stream in one
@@ -357,23 +372,31 @@ class PICCodec:
         y_strings: List[List[bytes]] = []
         y_hat_slices: List[jnp.ndarray] = []
         mus_b, scales_b = [], []
-        sym_host, idx_host = [], []
+        sym16_host, sym32_host, flags, idx_host = [], [], [], []
         c = self.model.dim_chunk
         for i in range(self.model.ns0):
             mu, scale, idx, msup = self._p_base_params(i)(
                 v, lm_b, ls_b, tuple(y_hat_slices))
             y_i = y[..., i * c:(i + 1) * c]
-            sym = self._p_base_sym()(y_i, mu)
-            y_hat = self._p_base_finish(i)(v, sym, mu, msup)
+            sym16, sym32, flag = self._p_base_sym()(y_i, mu)
+            y_hat = self._p_base_finish(i)(v, sym32, mu, msup)
             y_hat_slices.append(y_hat)
             mus_b.append(mu)
             scales_b.append(scale)
-            sym_host.append(sym)
+            sym16_host.append(sym16)
+            sym32_host.append(sym32)
+            flags.append(flag)
             idx_host.append(idx)
-        # one transfer for all 10 slices' symbols+indexes, then one batched
-        # host encode over ns0*B messages
-        sym_np = np.asarray(jax.device_get(jnp.stack(sym_host)))
-        idx_np = np.asarray(jax.device_get(jnp.stack(idx_host)))
+        # one compact transfer for all slices' symbols+indexes (int16/int8;
+        # tunnel D2H is the bottleneck), int32 fallback on overflow
+        if bool(jax.device_get(jnp.stack(flags).any())):
+            sym_np = np.asarray(
+                jax.device_get(jnp.stack(sym32_host)), np.int32)
+        else:
+            sym_np = np.asarray(
+                jax.device_get(jnp.stack(sym16_host))).astype(np.int32)
+        idx_np = np.asarray(jax.device_get(jnp.stack(idx_host))).astype(
+            np.int32)
         if buffered and quality <= 0:
             # one stream per image over all slices: concat along the slice
             # axis per batch item, single batched encode
@@ -408,15 +431,15 @@ class PICCodec:
         else:
             mu_s, scale_s, mask, idx, msups = self._p_prog_params(
                 float(quality))(v, tuple(y_hat_slices), lm, ls)
-        sym_s = self._p_prog_sym()(y, mu_s, mask)
-        sym_np = np.asarray(jax.device_get(sym_s))
-        idx_np = np.asarray(jax.device_get(idx))
+        sym16, sym32, flag = self._p_prog_sym()(y, mu_s, mask)
+        sym_np = self._get_sym(sym16, sym32, flag)
+        idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
         for i in range(self.model.ns1 - self.model.ns0):
             y_strings.append(self._encode_slice(sym_np[i], idx_np[i]))
 
         if return_latents:
             x_hat, y_prog = self._p_prog_reconstruct()(
-                v, sym_s, mu_s, msups, tuple(y_hat_slices))
+                v, sym32, mu_s, msups, tuple(y_hat_slices))
             out["y_hat"] = y_prog
         return out
 
@@ -455,7 +478,7 @@ class PICCodec:
         for i in range(self.model.ns0):
             mu, scale, idx, msup = self._p_base_params(i)(
                 v, lm_b, ls_b, tuple(y_hat_slices))
-            idx_np = np.asarray(jax.device_get(idx))
+            idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
             if buffered:
                 sym = np.stack([
                     streams[bi].decode_stream(idx_np[bi]).reshape(
@@ -484,7 +507,7 @@ class PICCodec:
         else:
             mu_s, scale_s, mask, idx, msups = self._p_prog_params(
                 float(quality))(v, tuple(y_hat_slices), lm, ls)
-        idx_np = np.asarray(jax.device_get(idx))
+        idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
         ns0 = self.model.ns0
         sym_list = [
             self._decode_slice(y_strings[ns0 + i], idx_np[i])

@@ -102,12 +102,12 @@ def progressive_encode(codec: PICCodec, x,
     else:
         mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(10.0)(
             v, base_slices, lm, ls)
-    sym_full = codec._p_prog_sym()(y, mu_s, mask1)
+    sym16, sym32, flag = codec._p_prog_sym()(y, mu_s, mask1)
 
     sid = _p_shell_ids(codec, tuple(q_list))(scale_s)
 
-    sym_np = np.asarray(jax.device_get(sym_full))      # [S,B,h,w,c]
-    idx_np = np.asarray(jax.device_get(idx_full))
+    sym_np = codec._get_sym(sym16, sym32, flag)        # [S,B,h,w,c]
+    idx_np = np.asarray(jax.device_get(idx_full)).astype(np.int32)
     sid_np = np.asarray(jax.device_get(sid))           # int8, Qx smaller
 
     b = sym_np.shape[1]
@@ -168,7 +168,7 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
         for i in range(codec.model.ns0):
             mu, scale, idx, msup = codec._p_base_params(i)(
                 v, lm_b, ls_b, tuple(y_hat_slices))
-            idx_np = np.asarray(jax.device_get(idx))
+            idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
             sym = codec._decode_slice(bitstreams["base"][i], idx_np)
             y_hat = codec._p_base_finish(i)(v, jnp.asarray(sym), mu, msup)
             y_hat_slices.append(y_hat)
@@ -197,7 +197,7 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
         sid = _p_shell_ids(codec, tuple(q_list))(scale_s)
         cache["entropy"] = (
             mu_s, msups,
-            np.asarray(jax.device_get(idx_full)),
+            np.asarray(jax.device_get(idx_full)).astype(np.int32),
             np.asarray(jax.device_get(sid)),
         )
         cache["canvas"] = None
