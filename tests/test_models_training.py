@@ -225,3 +225,42 @@ class TestLosses:
         out = rate_loss(fake, x)
         np.testing.assert_allclose(float(out["loss"]),
                                    float(out["bpp_loss"]))
+
+
+class TestBufferedCodec:
+    def test_buffered_base_stream_roundtrip(self, x):
+        from epic_tpu.codec import PICCodec
+
+        w = get_model("cnn", n=16, m=32, dim_chunk=8,
+                      param_net_widths=(24, 16))
+        v = w.init({"params": jax.random.key(1)}, x, method="init_all")
+        codec = PICCodec(w, v)
+        per = codec.compress(x, 0, return_latents=True)
+        buf = codec.compress(x, 0, return_latents=True, buffered=True)
+        # one stream per image instead of one per slice
+        assert len(buf["strings"][0]) == 1
+        assert len(buf["strings"][0][0]) == x.shape[0]
+        dec = codec.decompress(buf)
+        np.testing.assert_array_equal(np.asarray(buf["y_hat_base"]),
+                                      np.asarray(dec["y_hat"]))
+        # buffered saves the per-message flush overhead
+        b_per = sum(len(s) for sl in per["strings"][0] for s in sl)
+        b_buf = sum(len(s) for sl in buf["strings"][0] for s in sl)
+        assert b_buf < b_per
+
+
+class TestParallelEval:
+    def test_data_parallel_eval_on_mesh(self, x):
+        from epic_tpu.parallel import (make_mesh, make_parallel_eval_step,
+                                       replicate, shard_batch)
+
+        model = get_model("pic", **TINY_PIC)
+        v = model.init({"params": jax.random.key(1),
+                        "noise": jax.random.key(2)}, x, method="init_all")
+        mesh = make_mesh(2)
+        step = make_parallel_eval_step(model, mesh)
+        params = replicate(v["params"], mesh)
+        batch = shard_batch(x, mesh)  # B=2 -> 1 per device
+        x_hat, bpp, mse = step(params, batch, jnp.float32(5.0))
+        assert x_hat.shape == x.shape
+        assert float(bpp) > 0 and np.isfinite(np.asarray(mse)).all()
