@@ -50,6 +50,17 @@ def main(argv=None):
                          "rem_dimension": args.dimension}
         model, params, cfg, start_step = load_checkpoint(
             args.checkpoint, config_overrides=overrides)
+        if args.model == "rem" and "post_latent_0_0" not in params:
+            # PIC -> REM stage transition: fresh-init the REM banks, merge
+            # the trained parent weights in (rem_pic.py:66-78 analog)
+            from ..training import merge_params
+
+            dummy = jnp.zeros((1, 64, 64, 3))
+            rng, init_rng, noise_rng = jax.random.split(rng, 3)
+            fresh = model.init({"params": init_rng, "noise": noise_rng},
+                               dummy, method="init_all")["params"]
+            params = merge_params(fresh, params)
+            print("initialized REM banks fresh; merged parent weights")
     else:
         cfg = model_config_from_args(args)
         model = get_model(args.model, **cfg)
