@@ -27,7 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_IMG_PER_S = 0.15  # 10x the measured CPU-backend sweep throughput
 Q_LIST = [0.01, 0.05, 0.1, 0.25, 0.5, 0.6, 0.7, 0.8, 0.9, 1, 2, 3, 4,
           4.5, 10]
-N_IMAGES = int(os.environ.get("BENCH_IMAGES", "4"))
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "8"))
+# sweep batch: amortizes per-program dispatch/tunnel latency across images
+# (B=4 measured ~1.3x over B=1; B=8 exceeds v5e HBM). Falls back to 1 on
+# any failure.
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 
 
 def log(msg):
@@ -92,36 +96,43 @@ def main():
 
     codec = PICCodec(model, {"params": variables["params"]})
     rng = np.random.default_rng(0)
-    images = synth_images(N_IMAGES + 1, rng)
 
     @jax.jit
     def per_level_psnr(x_hat, x):
-        mse = jnp.mean((x_hat - x[None]) ** 2, axis=(1, 2, 3, 4))
+        mse = jnp.mean((x_hat - x[None]) ** 2, axis=(2, 3, 4)).mean(axis=1)
         return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
-    # warmup: compile encode + the all-levels decode program
-    t0 = time.time()
-    x = jnp.asarray(images[0])[None]
-    bs, _ = progressive_encode(codec, x, Q_LIST)
-    out = progressive_decode_all(codec, bs)
-    np.asarray(per_level_psnr(out["x_hat"], x))
-    log(f"warmup/compile {time.time()-t0:.1f}s")
-
-    t0 = time.time()
-    total_bits = 0.0
-    psnrs = None
-    for img in images[1:]:
-        x = jnp.asarray(img)[None]
-        bs, bits = progressive_encode(codec, x, Q_LIST)
+    def run(batch: int):
+        n_sweeps = max(N_IMAGES // batch, 1)
+        images = [np.stack(synth_images(batch, rng))
+                  for _ in range(n_sweeps + 1)]
+        t0 = time.time()
+        x = jnp.asarray(images[0])
+        bs, _ = progressive_encode(codec, x, Q_LIST)
         out = progressive_decode_all(codec, bs)
-        # the sweep's deliverable: per-level PSNR, computed on device
-        psnrs = np.asarray(per_level_psnr(out["x_hat"], x))
-        total_bits += bits[0] + bits[1] + sum(bits[2])
-    elapsed = time.time() - t0
-    img_per_s = N_IMAGES / elapsed
-    log(f"{N_IMAGES} images x {len(Q_LIST)+1} levels in {elapsed:.1f}s; "
-        f"top-quality bpp {total_bits/(N_IMAGES*512*768):.3f}; "
-        f"last-image psnr[0/8/16]={psnrs[0]:.2f}/{psnrs[8]:.2f}/"
+        np.asarray(per_level_psnr(out["x_hat"], x))
+        log(f"warmup/compile (batch={batch}) {time.time()-t0:.1f}s")
+
+        t0 = time.time()
+        total_bits, psnrs = 0.0, None
+        for img in images[1:]:
+            x = jnp.asarray(img)
+            bs, bits = progressive_encode(codec, x, Q_LIST)
+            out = progressive_decode_all(codec, bs)
+            # the sweep's deliverable: per-level PSNR, computed on device
+            psnrs = np.asarray(per_level_psnr(out["x_hat"], x))
+            total_bits += bits[0] + bits[1] + sum(bits[2])
+        elapsed = time.time() - t0
+        return n_sweeps * batch / elapsed, total_bits, psnrs,             n_sweeps * batch, elapsed
+
+    try:
+        img_per_s, total_bits, psnrs, n_done, elapsed = run(BATCH)
+    except Exception as e:  # OOM or tunnel failure -> single-image path
+        log(f"batch={BATCH} failed ({type(e).__name__}); retrying batch=1")
+        img_per_s, total_bits, psnrs, n_done, elapsed = run(1)
+    log(f"{n_done} images x {len(Q_LIST)+1} levels in {elapsed:.1f}s; "
+        f"top-quality bpp {total_bits/(n_done*512*768):.3f}; "
+        f"psnr[0/8/16]={psnrs[0]:.2f}/{psnrs[8]:.2f}/"
         f"{psnrs[-1]:.2f}; total wall {time.time()-t_all:.0f}s")
 
     print(json.dumps({
