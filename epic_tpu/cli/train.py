@@ -167,7 +167,7 @@ def main(argv=None):
                         step=start_step + (epoch + 1), is_best=is_best)
 
         # periodic real-codec eval + RD plot (train.py:310-356)
-        if epoch % args.eval_every == 1 or epoch == args.epochs - 1:
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
             codec = PICCodec(model, {"params": state.params})
             imgs = [img for img, _ in list(test_set)[:4]]
             real = compress_with_ac(

@@ -39,6 +39,14 @@ class PICCodec:
 
     def __init__(self, model: VarianceMaskingPIC, variables,
                  nthreads: int = 16):
+        if model.ns1 > model.ns0 and not model.all_scalable:
+            # the codec's hoisted progressive-parameter programs rely on
+            # the quality-independent (all_scalable) support chain; the
+            # non-scalable variant would need per-slice host interleaving
+            raise NotImplementedError(
+                "PICCodec requires all_scalable=True (the paper's "
+                "configuration); all_scalable=False is supported in the "
+                "model forwards only")
         self.model = model
         self.variables = variables
         self.gaussian = GaussianConditional().update()
@@ -420,6 +428,11 @@ class PICCodec:
                 out["mean_base"] = jnp.concatenate(mus_b, axis=-1)
                 out["scale_base"] = jnp.concatenate(scales_b, axis=-1)
                 out["y_hat_base"] = jnp.concatenate(y_hat_slices, axis=-1)
+                # device handles so downstream stages (progressive encode)
+                # can reuse the front/hyper work instead of recomputing it;
+                # never serialized (strip before dump_bitstreams)
+                out["_device"] = {"y": y, "lm": lm, "ls": ls,
+                                  "base_slices": tuple(y_hat_slices)}
             return out
 
         # --- progressive stage: one params program + one host encode ---
@@ -463,9 +476,16 @@ class PICCodec:
 
         z_sym = self._decode_z(z_strings, z_shape, self.model.n)
         z_sym_dev = jnp.asarray(z_sym)
-        lm, ls = self._p_zhat_hyper(False)(v, z_sym_dev, self._z_med_dev)
-        lm_b = lm[..., :self.model.division[0]]
-        ls_b = ls[..., :self.model.division[0]]
+        if quality <= 0:
+            # base-only decode needs only the base hyper branch
+            # (reference: pic.py:848-850)
+            lm_b, ls_b = self._p_zhat_hyper(True)(v, z_sym_dev,
+                                                  self._z_med_dev)
+        else:
+            lm, ls = self._p_zhat_hyper(False)(v, z_sym_dev,
+                                               self._z_med_dev)
+            lm_b = lm[..., :self.model.division[0]]
+            ls_b = ls[..., :self.model.division[0]]
 
         buffered = bool(bitstream.get("buffered"))
         streams = None

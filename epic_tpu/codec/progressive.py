@@ -77,14 +77,12 @@ def progressive_encode(codec: PICCodec, x,
     out_base = codec.compress(x, quality=0, return_latents=True)
     y_strings, z_strings = out_base["strings"]
 
-    # recompute the device-side context (front + full hyper + prog params)
-    xj = jnp.asarray(x)
-    y, z_sym_dev = codec._p_front()(v, xj, codec._z_med_dev)
-    lm, ls = codec._p_zhat_hyper(False)(v, z_sym_dev, codec._z_med_dev)
-    y_hat_base = out_base["y_hat_base"]
+    # reuse the device-side context compress already computed (front +
+    # full hyper + decoded base slices) — no recomputation
+    dev = out_base["_device"]
+    y, lm, ls = dev["y"], dev["lm"], dev["ls"]
+    base_slices = dev["base_slices"]
     c = codec.model.dim_chunk
-    base_slices = tuple(
-        y_hat_base[..., i * c:(i + 1) * c] for i in range(codec.model.ns0))
 
     # quality-independent entropy params; q=10 -> all-ones mask, unmasked
     # indexes (functions_encode.py:153-158 quantizes everything once)

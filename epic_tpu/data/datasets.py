@@ -104,7 +104,12 @@ def data_loader(dataset: ImageFolder, batch_size: int, seed: int = 0,
                 pos = 0
             idxs.append(order[pos])
             pos += 1
+        # draw per-image crop seeds BEFORE dispatching to the pool so batch
+        # content is deterministic for a given seed regardless of thread
+        # scheduling
+        seeds = [rng.random() for _ in idxs]
         crops = list(pool.map(
-            lambda i: dataset.get(i, random.Random(rng.random())), idxs))
+            lambda args: dataset.get(args[0], random.Random(args[1])),
+            zip(idxs, seeds)))
         yield np.stack(crops)
         produced += 1

@@ -182,7 +182,11 @@ class VarianceMaskingPIC(nn.Module):
         y_hat slices [:min(5, i)]. Returns (mu, scale, mean_support).
         Reference: pic.py:330-347.
         """
-        sup = support[:min(self.max_support_slices, i)]
+        # max_support_slices < 0 = use ALL decoded slices (reference:
+        # pic.py:333-336)
+        k = len(support) if self.max_support_slices < 0 else \
+            min(self.max_support_slices, i)
+        sup = support[:k]
         mean_support = jnp.concatenate([latent_means] + list(sup), axis=-1)
         scale_support = jnp.concatenate([latent_scales] + list(sup), axis=-1)
         mu = self.cc_mean[i](mean_support)
@@ -266,7 +270,8 @@ class VarianceMaskingPIC(nn.Module):
     def _prog_param_chain(self, y_hat_base_slices, latent_means,
                           latent_scales):
         """Quality-independent progressive entropy-parameter chain
-        (all_scalable). Returns (mus, muts, scales, mean_supports)."""
+        (all_scalable=True, the paper's configuration). Returns
+        (mus, muts, scales, mean_supports)."""
         lm = latent_means[..., self.division[0]:]
         ls = latent_scales[..., self.division[0]:]
         mus, muts, scales, msups = [], [], [], []
@@ -278,6 +283,49 @@ class VarianceMaskingPIC(nn.Module):
             scales.append(scale)
             msups.append(msup)
         return mus, muts, scales, msups
+
+    def _prog_slices_non_scalable(self, y, quality, y_hat_base_slices,
+                                  latent_means, latent_scales,
+                                  mask_policy: str, training: bool,
+                                  rng, checkpoint_ref=None,
+                                  mus_b=None, scales_b=None):
+        """Per-quality progressive chain for all_scalable=False: the
+        support is the DECODED progressive slices of this quality level
+        (reference: pic.py:404-405 with support_vector =
+        y_hat_slices_quality), so params are recomputed per quality and the
+        chain interleaves with reconstruction. Returns (y_hat_slices,
+        likelihoods, mus, scales, rng)."""
+        lm = latent_means[..., self.division[0]:]
+        ls = latent_scales[..., self.division[0]:]
+        prog_slices, liks, mus, scales = [], [], [], []
+        for i in range(self.ns1 - self.ns0):
+            r_i = self._slice(y, self.ns0 + i)
+            if self.delta_encode:
+                r_i = r_i - self._slice(y, i)
+            mu, mut, scale, msup = self.prog_slice_params(
+                lm, ls, y_hat_base_slices[i], prog_slices, prog_slices, i)
+            if checkpoint_ref is not None:
+                mu, scale = self._refine_prog_params(
+                    i, quality, mu, scale, checkpoint_ref,
+                    mus_b[i], scales_b[i])
+            mask = apply_noise_mask(
+                variance_mask(scale, quality, mask_policy), False)
+            centered = (r_i - mu) * mask
+            if training:
+                rng, sub = jax.random.split(rng)
+                noisy = centered + jax.random.uniform(
+                    sub, centered.shape, centered.dtype, -0.5, 0.5)
+            else:
+                noisy = ste_round(centered)
+            liks.append(gaussian_likelihood(
+                noisy, scale * mask, None, self.scale_bound))
+            y_hat_i = ste_round(r_i - mu) * mask + mu
+            y_hat_i = self.finish_prog_slice(y_hat_i, msup,
+                                             y_hat_base_slices[i], i)
+            prog_slices.append(y_hat_i)
+            mus.append(mu)
+            scales.append(scale)
+        return prog_slices, liks, mus, scales, rng
 
     def prog_params_all(self, y_hat_base, latent_means, latent_scales):
         """Standalone entry: stacked (mu, scale, mean_support) for all
@@ -328,6 +376,28 @@ class VarianceMaskingPIC(nn.Module):
                 "x_hat": x_hat_base[None],
                 "likelihoods": {"y": y_lik_base, "z": z_lik},
                 "y_base": y_hat_b,
+            }
+
+        if not self.all_scalable:
+            # quality-dependent support: per-quality interleaved chains
+            # (reference pic.py:388-457 structure)
+            x_hats, lik_levels = [x_hat_base[None]], []
+            for q in prog_qs:
+                prog_slices, liks, _, _, rng = \
+                    self._prog_slices_non_scalable(
+                        y, q, y_hat_slices, latent_means, latent_scales,
+                        mask_policy, training, rng)
+                y_hat_q = jnp.concatenate(prog_slices, axis=-1)
+                x_hats.append(self.synthesize_prog(y_hat_q)[None])
+                lik_levels.append(jnp.concatenate(
+                    [y_lik_base] + liks, axis=-1)[None])
+            return {
+                "x_hat": jnp.concatenate(x_hats, axis=0),
+                "likelihoods": {"y": y_lik_base,
+                                "y_prog": jnp.concatenate(lik_levels, 0),
+                                "z": z_lik},
+                "y_base": y_hat_b,
+                "y_prog": y_hat_q,
             }
 
         mus, muts, scales, msups = self._prog_param_chain(
@@ -432,6 +502,26 @@ class VarianceMaskingPIC(nn.Module):
                 "y_hat": y_hat_b, "y_base": y_hat_b,
                 "mu": jnp.concatenate(mus_b, axis=-1),
                 "std": jnp.concatenate(scales_b, axis=-1),
+            }
+
+        if not self.all_scalable:
+            prog_slices, prog_liks, mu_list, std_list, rng = \
+                self._prog_slices_non_scalable(
+                    y, quality, y_hat_slices, latent_means, latent_scales,
+                    mask_policy, training, rng, checkpoint_ref,
+                    mus_b, scales_b)
+            y_hat_p = jnp.concatenate(prog_slices, axis=-1)
+            x_hat = jnp.clip(self.synthesize_prog(y_hat_p), 0.0, 1.0)
+            return {
+                "x_hat": x_hat,
+                "likelihoods": {
+                    "y": jnp.concatenate([y_lik_base] + prog_liks, axis=-1),
+                    "z": z_lik},
+                "y_hat": y_hat_p, "y_base": y_hat_b, "y_prog": y_hat_p,
+                "mu_base": jnp.concatenate(mus_b, axis=-1),
+                "mu": jnp.concatenate(mu_list, axis=-1),
+                "std_base": jnp.concatenate(scales_b, axis=-1),
+                "std": jnp.concatenate(std_list, axis=-1),
             }
 
         mus, muts, scales, msups = self._prog_param_chain(

@@ -32,15 +32,16 @@ def _bpp_terms(output, target) -> Dict[str, jnp.ndarray]:
     den = -math.log(2) * num_pixels
     lik = output["likelihoods"]
     out = {"bpp_hype": jnp.log(lik["z"]).sum() / den}
-    levels = output["x_hat"].shape[0] if output["x_hat"].ndim == 5 else 1
+    # the reference multiplies the hyperprior term by x_hat.shape[0] —
+    # the level count for multi-quality outputs and the BATCH size for
+    # single-quality forwards (loss.py:23,56,60: batch_size_recon)
+    levels = output["x_hat"].shape[0]
     if "y_prog" in lik:
         out["bpp_base"] = jnp.log(lik["y"]).sum() / den
         out["bpp_scalable"] = jnp.log(lik["y_prog"]).sum() / den
     else:
         out["bpp_base"] = jnp.log(lik["y"]).sum() / den
         out["bpp_scalable"] = jnp.zeros(())
-    # the reference charges the hyperprior once per reconstruction level
-    # (loss.py:56,60)
     out["bpp_loss"] = (out["bpp_scalable"] + out["bpp_base"]
                        + levels * out["bpp_hype"])
     return out
@@ -88,7 +89,7 @@ def rate_loss(output, target, lmbda=None, weight: float = WEIGHT):
     den = -math.log(2) * b * h * w
     lik = output["likelihoods"]
     out = {"bpp_hype": jnp.log(lik["z"]).sum() / den}
-    levels = output["x_hat"].shape[0] if output["x_hat"].ndim == 5 else 1
+    levels = output["x_hat"].shape[0]
     out["bpp_base"] = jnp.log(lik["y"]).sum() / den
     out["bpp_scalable"] = out["bpp_base"]
     out["bpp_loss"] = out["bpp_base"] + levels * out["bpp_hype"]

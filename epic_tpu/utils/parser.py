@@ -32,13 +32,20 @@ def parse_train_args(argv=None) -> argparse.Namespace:
                    action="store_false")
     p.add_argument("--support_progressive_slices", type=int, default=5)
     p.add_argument("--delta_encode", action="store_true", default=True)
+    p.add_argument("--no_delta_encode", dest="delta_encode",
+                   action="store_false")
     p.add_argument("--all_scalable", action="store_true", default=True)
+    p.add_argument("--no_all_scalable", dest="all_scalable",
+                   action="store_false")
     p.add_argument("--total_mu_rep", action="store_true", default=True)
+    p.add_argument("--no_total_mu_rep", dest="total_mu_rep",
+                   action="store_false")
     p.add_argument("--mask_policy", default="point-based-std")
     # REM
     p.add_argument("--check_levels", type=float, nargs="+", default=[0.75])
     p.add_argument("--check_levels_np", type=int, nargs="+", default=[24])
     p.add_argument("--mu_std", action="store_true", default=True)
+    p.add_argument("--no_mu_std", dest="mu_std", action="store_false")
     p.add_argument("--dimension", default="big", choices=["middle", "big"])
     # training
     p.add_argument("--training_type", default="first_train",

@@ -264,3 +264,78 @@ class TestParallelEval:
         x_hat, bpp, mse = step(params, batch, jnp.float32(5.0))
         assert x_hat.shape == x.shape
         assert float(bpp) > 0 and np.isfinite(np.asarray(mse)).all()
+
+
+class TestReviewFixes:
+    """Regression tests for the round-1 code-review findings."""
+
+    def test_non_all_scalable_support_is_decoded_slices(self, x):
+        m = get_model("pic", all_scalable=False, **TINY_PIC)
+        v = m.init({"params": jax.random.key(1),
+                    "noise": jax.random.key(2)}, x, method="init_all")
+        out = m.apply(v, x, 5.0, False,
+                      method=m.forward_single_quality)
+        assert np.isfinite(np.asarray(out["x_hat"])).all()
+        # multi-quality path too
+        out2 = m.apply(v, x, [0, 2.0, 10], False)
+        assert out2["x_hat"].shape[0] == 3
+        # and it actually differs from the all_scalable model with the
+        # same weights (different support conditioning)
+        m2 = get_model("pic", all_scalable=True, **TINY_PIC)
+        out3 = m2.apply(v, x, 5.0, False,
+                        method=m2.forward_single_quality)
+        assert not np.allclose(np.asarray(out["x_hat"]),
+                               np.asarray(out3["x_hat"]))
+
+    def test_codec_rejects_non_all_scalable(self, x):
+        m = get_model("pic", all_scalable=False, **TINY_PIC)
+        v = m.init({"params": jax.random.key(1),
+                    "noise": jax.random.key(2)}, x, method="init_all")
+        with pytest.raises(NotImplementedError):
+            PICCodec(m, v)
+
+    def test_negative_max_support_uses_all_slices(self, x):
+        m = get_model("pic", max_support_slices=-1, **TINY_PIC)
+        v = m.init({"params": jax.random.key(1),
+                    "noise": jax.random.key(2)}, x, method="init_all")
+        out = m.apply(v, x, 0.0, False, method=m.forward_single_quality)
+        assert np.isfinite(np.asarray(out["x_hat"])).all()
+
+    def test_single_quality_hype_weight_is_batch_size(self, x):
+        from epic_tpu.training.losses import rate_distortion_loss
+
+        fake = {
+            "x_hat": x,  # [B=2, ...] single-quality output
+            "likelihoods": {
+                "y": jnp.full((2, 4, 4, 32), 0.5),
+                "z": jnp.full((2, 1, 1, 16), 0.5),
+            },
+        }
+        out = rate_distortion_loss(fake, x, 0.01)
+        # bpp_loss = bpp_base + B * bpp_hype (reference loss.py:23,116)
+        expect = float(out["bpp_base"]) + 2 * float(out["bpp_hype"])
+        assert abs(float(out["bpp_loss"]) - expect) < 1e-6
+
+    def test_data_loader_deterministic(self):
+        import tempfile
+        from epic_tpu.data import ImageFolder, data_loader
+        from PIL import Image
+
+        with tempfile.TemporaryDirectory() as d:
+            rng = np.random.default_rng(0)
+            for i in range(4):
+                Image.fromarray(
+                    (rng.random((80, 80, 3)) * 255).astype(np.uint8)
+                ).save(f"{d}/img{i}.png")
+            ds = ImageFolder(d, split="", patch_size=32)
+            b1 = list(data_loader(ds, 2, seed=7, steps=3))
+            b2 = list(data_loader(ds, 2, seed=7, steps=3))
+            for a, b in zip(b1, b2):
+                np.testing.assert_array_equal(a, b)
+
+    def test_parser_no_flags(self):
+        from epic_tpu.utils.parser import parse_train_args
+
+        a = parse_train_args(["--no_delta_encode", "--no_all_scalable"])
+        assert not a.delta_encode and not a.all_scalable
+        assert a.total_mu_rep  # untouched defaults stay on
