@@ -339,3 +339,32 @@ class TestReviewFixes:
         a = parse_train_args(["--no_delta_encode", "--no_all_scalable"])
         assert not a.delta_encode and not a.all_scalable
         assert a.total_mu_rep  # untouched defaults stay on
+
+
+class TestSingleBranchConfigs:
+    """The multiple_*=False variants (reference supports mixed configs;
+    builder.py:20-31,55-66,112-135)."""
+
+    def test_single_everything_pic_roundtrip(self, x):
+        m = get_model("pic", n=16, m=32, division=(16, 32), dim_chunk=8,
+                      param_net_widths=(24, 16), multiple_encoder=False,
+                      multiple_decoder=False, multiple_hyperprior=False)
+        v = m.init({"params": jax.random.key(1),
+                    "noise": jax.random.key(2)}, x, method="init_all")
+        out = m.apply(v, x, 5.0, False, method=m.forward_single_quality)
+        assert np.isfinite(np.asarray(out["x_hat"])).all()
+        codec = PICCodec(m, v)
+        o = codec.compress(x, 3.0, return_latents=True)
+        d = codec.decompress(o)
+        np.testing.assert_array_equal(np.asarray(o["y_hat"]),
+                                      np.asarray(d["y_hat"]))
+
+    def test_mixed_config_forward(self, x):
+        # dual encoder, single decoder, dual hyperprior
+        m = get_model("pic", n=16, m=32, division=(16, 32), dim_chunk=8,
+                      param_net_widths=(24, 16), multiple_decoder=False)
+        v = m.init({"params": jax.random.key(1),
+                    "noise": jax.random.key(2)}, x, method="init_all")
+        out = m.apply(v, x, [0, 10], False)
+        assert out["x_hat"].shape == (2, 2, 64, 64, 3)
+        assert np.isfinite(np.asarray(out["x_hat"])).all()
