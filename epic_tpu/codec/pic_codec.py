@@ -134,66 +134,6 @@ class PICCodec:
             return f
         return self._prog(("base_finish", i), make)
 
-    def _p_base_step(self, i: int):
-        """Fused: finish slice i-1 from its decoded symbols, then compute
-        slice i's entropy params from the updated support — ONE dispatch
-        per slice instead of two. Shared verbatim by compress and
-        decompress (bit-identity of the chain)."""
-        def make():
-            def f(v, lm, ls, support, prev_sym, prev_mu, prev_msup):
-                support = list(support)
-                if i > 0:
-                    y_prev = prev_sym.astype(jnp.float32) + prev_mu
-                    y_prev = self.model.apply(
-                        v, y_prev, prev_msup, i - 1,
-                        method=VarianceMaskingPIC.finish_base_slice)
-                    support.append(y_prev)
-                else:
-                    y_prev = None
-                mu, scale, msup = self.model.apply(
-                    v, lm, ls, support, i,
-                    method=VarianceMaskingPIC.base_slice_params)
-                idx = build_indexes(scale, self._scale_table,
-                                    self.model.scale_bound).astype(jnp.int8)
-                return y_prev, mu, scale, idx, msup
-            return f
-        return self._prog(("base_step", i), make)
-
-    def _base_chain_decode(self, v, lm_b, ls_b, y_strings, buffered=False):
-        """Shared decode of the autoregressive base chain (fused steps).
-        Returns (y_hat_slices, mus, scales)."""
-        streams = None
-        if buffered:
-            streams = [self.y_coder.stream_decoder(s) for s in y_strings[0]]
-        y_hat_slices, mus_b, scales_b = [], [], []
-        prev_sym = prev_mu = prev_msup = None
-        for i in range(self.model.ns0):
-            y_prev, mu, scale, idx, msup = self._p_base_step(i)(
-                v, lm_b, ls_b, tuple(y_hat_slices), prev_sym, prev_mu,
-                prev_msup)
-            if y_prev is not None:
-                y_hat_slices.append(y_prev)
-            idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
-            if buffered:
-                sym_np = np.stack([
-                    streams[bi].decode_stream(idx_np[bi]).reshape(
-                        idx_np[bi].shape)
-                    for bi in range(idx_np.shape[0])])
-            else:
-                sym_np = self._decode_slice(y_strings[i], idx_np)
-            prev_sym = jnp.asarray(sym_np)
-            prev_mu, prev_msup = mu, msup
-            mus_b.append(mu)
-            scales_b.append(scale)
-        # finish the last slice
-        y_hat = self._p_base_finish(self.model.ns0 - 1)(
-            v, prev_sym, prev_mu, prev_msup)
-        y_hat_slices.append(y_hat)
-        if streams:
-            for s in streams:
-                s.close()
-        return y_hat_slices, mus_b, scales_b
-
     def _p_synth_base(self):
         def make():
             def f(v, slices):
@@ -436,31 +376,25 @@ class PICCodec:
         lm_b = lm[..., :self.model.division[0]]
         ls_b = ls[..., :self.model.division[0]]
 
-        # --- base chain: encoder simulates decoder (fused steps shared
-        # verbatim with _base_chain_decode) ---
+        # --- base chain: encoder simulates decoder ---
         y_strings: List[List[bytes]] = []
         y_hat_slices: List[jnp.ndarray] = []
         mus_b, scales_b = [], []
         sym16_host, sym32_host, flags, idx_host = [], [], [], []
         c = self.model.dim_chunk
-        prev_sym = prev_mu = prev_msup = None
         for i in range(self.model.ns0):
-            y_prev, mu, scale, idx, msup = self._p_base_step(i)(
-                v, lm_b, ls_b, tuple(y_hat_slices), prev_sym, prev_mu,
-                prev_msup)
-            if y_prev is not None:
-                y_hat_slices.append(y_prev)
+            mu, scale, idx, msup = self._p_base_params(i)(
+                v, lm_b, ls_b, tuple(y_hat_slices))
             y_i = y[..., i * c:(i + 1) * c]
             sym16, sym32, flag = self._p_base_sym()(y_i, mu)
-            prev_sym, prev_mu, prev_msup = sym32, mu, msup
+            y_hat = self._p_base_finish(i)(v, sym32, mu, msup)
+            y_hat_slices.append(y_hat)
             mus_b.append(mu)
             scales_b.append(scale)
             sym16_host.append(sym16)
             sym32_host.append(sym32)
             flags.append(flag)
             idx_host.append(idx)
-        y_hat_slices.append(self._p_base_finish(self.model.ns0 - 1)(
-            v, prev_sym, prev_mu, prev_msup))
         # one compact transfer for all slices' symbols+indexes (int16/int8;
         # tunnel D2H is the bottleneck), int32 fallback on overflow
         if bool(jax.device_get(jnp.stack(flags).any())):
@@ -554,8 +488,32 @@ class PICCodec:
             ls_b = ls[..., :self.model.division[0]]
 
         buffered = bool(bitstream.get("buffered"))
-        y_hat_slices, mus_b, scales_b = self._base_chain_decode(
-            v, lm_b, ls_b, y_strings, buffered)
+        streams = None
+        if buffered:
+            streams = [self.y_coder.stream_decoder(s)
+                       for s in y_strings[0]]
+
+        y_hat_slices: List[jnp.ndarray] = []
+        mus_b, scales_b = [], []
+        for i in range(self.model.ns0):
+            mu, scale, idx, msup = self._p_base_params(i)(
+                v, lm_b, ls_b, tuple(y_hat_slices))
+            idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
+            if buffered:
+                sym = np.stack([
+                    streams[bi].decode_stream(idx_np[bi]).reshape(
+                        idx_np[bi].shape)
+                    for bi in range(idx_np.shape[0])
+                ])
+            else:
+                sym = self._decode_slice(y_strings[i], idx_np)
+            y_hat = self._p_base_finish(i)(v, jnp.asarray(sym), mu, msup)
+            y_hat_slices.append(y_hat)
+            mus_b.append(mu)
+            scales_b.append(scale)
+        if streams:
+            for s in streams:
+                s.close()
 
         if quality <= 0:
             x_hat, y_hat_b = self._p_synth_base()(v, tuple(y_hat_slices))

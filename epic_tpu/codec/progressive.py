@@ -161,8 +161,17 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
     if "base" not in cache:
         lm_b = lm[..., :codec.model.division[0]]
         ls_b = ls[..., :codec.model.division[0]]
-        y_hat_slices, mu_b, std_b = codec._base_chain_decode(
-            v, lm_b, ls_b, bitstreams["base"])
+        y_hat_slices: List[jnp.ndarray] = []
+        mu_b, std_b = [], []
+        for i in range(codec.model.ns0):
+            mu, scale, idx, msup = codec._p_base_params(i)(
+                v, lm_b, ls_b, tuple(y_hat_slices))
+            idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
+            sym = codec._decode_slice(bitstreams["base"][i], idx_np)
+            y_hat = codec._p_base_finish(i)(v, jnp.asarray(sym), mu, msup)
+            y_hat_slices.append(y_hat)
+            mu_b.append(mu)
+            std_b.append(scale)
         cache["base"] = tuple(y_hat_slices)
         cache["base_params"] = (tuple(mu_b), tuple(std_b))
     base_slices = cache["base"]
