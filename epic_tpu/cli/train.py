@@ -22,7 +22,18 @@ import numpy as np
 
 
 def main(argv=None):
+    import os as _os
+
     import jax
+
+    try:  # persistent XLA compile cache (first-run compiles are minutes)
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            _os.path.expanduser("~/.jax_compile_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from ..data import ImageFolder, TestImageDataset, data_loader
