@@ -37,9 +37,11 @@ def rd_sweep(codec: PICCodec, images: Sequence[np.ndarray],
 
     This is the throughput-defining sweep (BASELINE.md: 'full Kodak RD
     sweep'): versus per-level random-access coding it saves ~|q_list|x the
-    transform work.
+    transform work; all levels reconstruct in one device program
+    (progressive_decode_all).
     """
-    from ..codec.progressive import progressive_decode, progressive_encode
+    from ..codec.progressive import progressive_decode_all, \
+        progressive_encode
 
     nl = len(q_list) + 1  # + base level
     bpp = np.zeros(nl)
@@ -63,18 +65,16 @@ def rd_sweep(codec: PICCodec, images: Sequence[np.ndarray],
         bs, bits = progressive_encode(codec, xp, q_list,
                                       rems=bool(y_checkpoints),
                                       y_checkpoints=y_checkpoints)
-        cache: Dict[str, Any] = {}
+        out = progressive_decode_all(codec, bs, rems=bool(y_checkpoints),
+                                     y_checkpoints=y_checkpoints)
         cum = bits[0] + bits[1]
         for j in range(nl):
-            out = progressive_decode(codec, bs, j, cache,
-                                     rems=bool(y_checkpoints),
-                                     y_checkpoints=y_checkpoints)
             if j > 0:
                 cum = bits[0] + bits[1] + sum(bits[2][:j])
-            x_hat = unpad_image(out["x_hat"], unpad)
+            x_hat = unpad_image(out["x_hat"][j], unpad)
             bpp[j] += cum / npix
             psnr[j] += compute_psnr(x, x_hat)
-            dec_time[j] += out["decode_time"]
+            dec_time[j] += out["decode_time"] / nl
         count += 1
     count = max(count, 1)
     return {

@@ -202,3 +202,14 @@ class TestDecodeAll:
             np.testing.assert_allclose(np.asarray(allr["x_hat"][j]),
                                        np.asarray(inc["x_hat"]),
                                        atol=1e-5)
+
+
+class TestRDSweep:
+    def test_rd_sweep_monotone(self, setup):
+        from epic_tpu.training import rd_sweep
+
+        _, _, x, codec = setup
+        res = rd_sweep(codec, [np.asarray(x[0])], q_list=[1.0, 10.0])
+        assert len(res["bpp"]) == 3
+        assert res["bpp"] == sorted(res["bpp"])
+        assert all(np.isfinite(res["psnr"]))
