@@ -16,8 +16,16 @@ os.environ["XLA_FLAGS"] = (
 ).strip()
 
 # The axon sitecustomize (PYTHONPATH=/root/.axon_site) registers a TPU PJRT
-# plugin in every process; with JAX_PLATFORMS=cpu jax will simply not select
-# it, but drop the path for subprocesses spawned by tests too.
+# plugin in every process AND forces the platform at the jax.config level —
+# the env var alone does not win. Override at the config level too (this
+# runs before any backend initializes), so the suite always uses the
+# 8-device virtual CPU mesh even when pytest is launched with the
+# sitecustomize active.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# drop the sitecustomize path for subprocesses spawned by tests too
 os.environ["PYTHONPATH"] = ""
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
