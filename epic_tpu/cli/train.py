@@ -42,7 +42,9 @@ def main(argv=None):
                             load_checkpoint, make_eval_step, make_stage,
                             make_train_step, save_checkpoint, test_epoch,
                             valid_epoch)
-    from ..training.step import extract_quality_ref, make_ckpt_extractor
+    from ..training.step import (extract_quality_ref, make_ckpt_extractor,
+                                 make_valid_loss_step)
+    from ..training.state import set_learning_rate
     from ..codec import PICCodec
     from ..utils.parser import model_config_from_args, parse_train_args
     from ..utils.plot import plot_rate_distortion
@@ -99,6 +101,7 @@ def main(argv=None):
         model.multiple_decoder, model.multiple_encoder)
     train_step = make_train_step(model, plan)
     eval_step = make_eval_step(model)
+    valid_loss_step = make_valid_loss_step(model, plan)
     ckpt_extractor = make_ckpt_extractor(model) if plan.rems else None
 
     # ---- data ----
@@ -108,6 +111,10 @@ def main(argv=None):
         valid_set = ImageFolder(args.training_dataset, "test",
                                 args.patch_size, args.num_images_val)
     except FileNotFoundError:
+        print("WARNING: no 'test' split under "
+              f"{args.training_dataset}; validating on the TRAIN set "
+              "(plateau/best-checkpoint signals will be optimistic)",
+              file=sys.stderr, flush=True)
         valid_set = train_set
     test_set = TestImageDataset(args.test_dataset)
 
@@ -150,8 +157,11 @@ def main(argv=None):
         # validation (entropy estimation)
         vbatches = data_loader(valid_set, args.valid_batch_size,
                                seed=1234, steps=4)
-        val = valid_epoch(eval_step, state.params, vbatches)
-        val_loss = float(np.mean(val["bpp"]) - 0.05 * np.mean(val["psnr"]))
+        val = valid_epoch(eval_step, state.params, vbatches,
+                          loss_step=valid_loss_step)
+        # plateau steps on the stage criterion's validation loss
+        # (reference: lr_scheduler.step(loss), train.py:279)
+        val_loss = val["loss"]
         print(f"epoch {epoch}: train loss {train_loss:.4f} | "
               f"valid bpp {np.mean(val['bpp']):.4f} "
               f"psnr {np.mean(val['psnr']):.2f} | "
@@ -168,10 +178,9 @@ def main(argv=None):
             if plateau > args.patience:
                 lr *= args.lr_factor
                 plateau = 0
-                state = create_train_state(
-                    state.params, args.training_type, lr,
-                    args.aux_learning_rate, args.clip_max_norm, args.lrp,
-                    model.multiple_decoder, model.multiple_encoder)
+                # in-place LR drop: Adam moments survive (ReduceLROnPlateau
+                # analog; reference train.py:130)
+                state = set_learning_rate(state, lr)
                 print(f"  lr -> {lr:.2e}")
 
         save_checkpoint(save_dir, state.params, cfg,

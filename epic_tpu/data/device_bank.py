@@ -1,0 +1,180 @@
+"""Device-resident training data: a packed crop bank + jitted sampler.
+
+The build box reaches its TPU through a tunnel whose host<->device bandwidth
+is ~MB/s, so a conventional host data loader (reference: torch DataLoader,
+src/train.py:60-76) would starve the chip — one 16x256x256x3 float batch is
+~12 MB per step. Instead we upload the source images ONCE as a packed uint8
+array and sample random patches on device: per-step host traffic is a
+128-bit RNG key.
+
+Source content: photographic regions cropped out of the reference's teaser
+figure (/root/reference/imgs/teaser.png — kodim21 lighthouse photo + sea
+-rock detail panels), the only real photographs in the environment, at
+multiple scales. A right-hand column strip of the main photo is held out
+for validation (spatial holdout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+TEASER_PATH = "/root/reference/imgs/teaser.png"
+
+# (y0, y1, x0, x1) of photographic rectangles inside the teaser figure,
+# inset to shave the red zoom-box borders. "main" is the kodim21 lighthouse
+# photo; d0..d3 are the sea-rock detail panels (d1-3 are the figure's
+# reconstructed versions — still photographic content).
+TEASER_REGIONS = {
+    "main": (18, 1002, 898, 2362),
+    "d0": (400, 995, 3310, 4105),
+    "d1": (1085, 1492, 3310, 4105),
+    "d2": (1700, 2112, 3310, 4105),
+    "d3": (2310, 2732, 3310, 4105),
+}
+
+
+@dataclasses.dataclass
+class CropBank:
+    """Packed image bank + per-image train/val crop-offset ranges."""
+
+    bank: np.ndarray        # [K, Hmax, Wmax, 3] uint8 (zero padded)
+    hw: np.ndarray          # [K, 2] int32 valid (h, w)
+    train_x1: np.ndarray    # [K] int32: train crops use x in [0, train_x1)
+    val_x0: np.ndarray      # [K] int32: val crops use x in [val_x0, w); -1 = no val
+
+    @property
+    def num_images(self) -> int:
+        return self.bank.shape[0]
+
+
+def load_teaser_images(path: str = TEASER_PATH,
+                       scales: Sequence[float] = (1.0, 0.75, 0.5),
+                       ) -> Tuple[List[np.ndarray], List[bool]]:
+    """Returns (images, has_val): the photographic teaser regions at the
+    requested scales. Only the 'main' photo variants carry a val strip."""
+    from PIL import Image
+
+    im = np.asarray(Image.open(path).convert("RGB"))
+    images, has_val = [], []
+    for name, (y0, y1, x0, x1) in TEASER_REGIONS.items():
+        region = im[y0:y1, x0:x1]
+        region_scales = scales if name == "main" else (1.0,)
+        for s in region_scales:
+            if s == 1.0:
+                img = region
+            else:
+                pil = Image.fromarray(region)
+                pil = pil.resize((int(region.shape[1] * s),
+                                  int(region.shape[0] * s)),
+                                 Image.LANCZOS)
+                img = np.asarray(pil)
+            images.append(img)
+            has_val.append(name == "main")
+    return images, has_val
+
+
+def build_crop_bank(images: Sequence[np.ndarray],
+                    has_val: Optional[Sequence[bool]] = None,
+                    patch: int = 256,
+                    val_strip: Optional[int] = None) -> CropBank:
+    """Pack images into one padded uint8 array with train/val x-ranges.
+
+    Images with has_val[i] get their rightmost `val_strip` columns
+    (default patch+16) reserved for validation crops; training crops are
+    constrained to start left of that strip.
+    """
+    if has_val is None:
+        has_val = [False] * len(images)
+    if val_strip is None:
+        val_strip = patch + 16
+    keep, keep_val = [], []
+    for img, hv in zip(images, has_val):
+        if img.shape[0] >= patch and img.shape[1] >= patch:
+            keep.append(np.ascontiguousarray(img, dtype=np.uint8))
+            keep_val.append(hv)
+    if not keep:
+        raise ValueError(f"no source image fits a {patch}px patch")
+    hmax = max(i.shape[0] for i in keep)
+    wmax = max(i.shape[1] for i in keep)
+    bank = np.zeros((len(keep), hmax, wmax, 3), np.uint8)
+    hw = np.zeros((len(keep), 2), np.int32)
+    train_x1 = np.zeros(len(keep), np.int32)
+    val_x0 = np.full(len(keep), -1, np.int32)
+    for i, (img, hv) in enumerate(zip(keep, keep_val)):
+        h, w, _ = img.shape
+        bank[i, :h, :w] = img
+        hw[i] = (h, w)
+        if hv and w >= patch + val_strip:
+            train_x1[i] = w - val_strip
+            val_x0[i] = w - val_strip
+        else:
+            train_x1[i] = w
+    return CropBank(bank=bank, hw=hw, train_x1=train_x1, val_x0=val_x0)
+
+
+def make_device_sampler(cb: CropBank, patch: int, batch: int,
+                        split: str = "train"):
+    """Returns a jitted sample(rng) -> [batch, patch, patch, 3] float32 in
+    [0, 1]. All work (indexing, crop, flip, normalize) happens on device;
+    the only per-call host->device traffic is the RNG key."""
+    import jax
+    import jax.numpy as jnp
+
+    bank = jnp.asarray(cb.bank)
+    hw = jnp.asarray(cb.hw)
+    if split == "train":
+        x_lo = jnp.zeros(cb.num_images, jnp.int32)
+        x_hi = jnp.asarray(cb.train_x1) - patch + 1
+        weights = np.maximum(
+            (cb.hw[:, 0] - patch + 1).astype(np.float64), 0) * np.maximum(
+            (cb.train_x1 - patch + 1).astype(np.float64), 0)
+    else:
+        ok = cb.val_x0 >= 0
+        if not ok.any():
+            raise ValueError("crop bank has no validation strip")
+        x_lo = jnp.asarray(np.where(ok, cb.val_x0, 0))
+        x_hi = jnp.asarray(cb.hw[:, 1]) - patch + 1
+        weights = np.where(
+            ok, (cb.hw[:, 0] - patch + 1).astype(np.float64) * np.maximum(
+                cb.hw[:, 1] - cb.val_x0 - patch + 1, 0), 0.0)
+    # sample images proportionally to their usable crop area
+    logits = jnp.asarray(np.log(np.maximum(weights, 1e-9)), jnp.float32)
+
+    def _crop(k, oy, ox):
+        return jax.lax.dynamic_slice(bank, (k, oy, ox, 0),
+                                     (1, patch, patch, 3))[0]
+
+    @jax.jit
+    def sample(rng):
+        rk, ry, rx, rf = jax.random.split(rng, 4)
+        k = jax.random.categorical(rk, logits, shape=(batch,))
+        oy = jax.random.randint(ry, (batch,), 0, hw[k, 0] - patch + 1)
+        ox = jax.random.randint(rx, (batch,), x_lo[k], x_hi[k])
+        crops = jax.vmap(_crop)(k, oy, ox)
+        flips = jax.random.bernoulli(rf, shape=(batch, 3))
+        crops = jnp.where(flips[:, 0, None, None, None],
+                          crops[:, :, ::-1], crops)
+        crops = jnp.where(flips[:, 1, None, None, None],
+                          crops[:, ::-1], crops)
+        crops = jnp.where(flips[:, 2, None, None, None],
+                          jnp.swapaxes(crops, 1, 2), crops)
+        return crops.astype(jnp.float32) / 255.0
+
+    return sample
+
+
+def fixed_val_batches(cb: CropBank, patch: int, batch: int,
+                      n_batches: int = 2, seed: int = 1234):
+    """Deterministic validation batches drawn from the val strips."""
+    import jax
+
+    sampler = make_device_sampler(cb, patch, batch, split="val")
+    rng = jax.random.key(seed)
+    out = []
+    for i in range(n_batches):
+        rng, sub = jax.random.split(rng)
+        out.append(sampler(sub))
+    return out

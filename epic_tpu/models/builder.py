@@ -88,15 +88,20 @@ class HyperAnalysis(nn.Module):
 
 
 class HyperSynthesis(nn.Module):
-    """h_s branch: z_hat [B,h/4,w/4,N] -> params [B,h,w,out_dim]."""
+    """h_s branch: z_hat [B,h/4,w/4,N] -> params [B,h,w,out_dim].
+
+    first_width: width of the first conv — 192 in the reference's
+    multi-hyperprior branch (builder.py:89), N in the single-hyperprior
+    h_mean_s (builder.py:114 conv3x3(N, N))."""
 
     out_dim: int
     dtype: object = None
+    first_width: int = 192
 
     @nn.compact
     def __call__(self, x):
         dt = self.dtype
-        x = conv3x3(192, dtype=dt)(x)
+        x = conv3x3(self.first_width, dtype=dt)(x)
         x = jax.nn.gelu(x)
         x = SubpelConv(224, 2, dtype=dt)(x)
         x = jax.nn.gelu(x)

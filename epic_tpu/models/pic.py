@@ -105,8 +105,12 @@ class VarianceMaskingPIC(nn.Module):
             self.h_scale_s = [HyperSynthesis(d0, dt, name=f"h_scale_s_{i}")
                               for i in range(2)]
         else:
-            self.h_mean_s = HyperSynthesis(self.m, dt, name="h_mean_s")
-            self.h_scale_s = HyperSynthesis(self.m, dt, name="h_scale_s")
+            # single-hyperprior: first conv width is N, not 192
+            # (reference builder.py:114 conv3x3(N, N))
+            self.h_mean_s = HyperSynthesis(self.m, dt, first_width=self.n,
+                                           name="h_mean_s")
+            self.h_scale_s = HyperSynthesis(self.m, dt, first_width=self.n,
+                                            name="h_scale_s")
 
         ns0 = self.ns0
         nprog = self.ns1 - self.ns0

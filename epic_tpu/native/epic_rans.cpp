@@ -108,23 +108,29 @@ public:
 inline void ops_for_symbol(int32_t value, const uint32_t* cdf, int32_t cdf_len,
                            int32_t offset, std::vector<Op>& ops) {
     const int32_t max_sym = cdf_len - 2;  // index of the escape slot
-    int32_t raw = value - offset;
-    uint32_t ov = 0;
+    // 64-bit zig-zag: int32 symbols with |value - offset| near 2^31 would
+    // wrap in 32-bit arithmetic and round-trip silently corrupted.
+    int64_t raw = static_cast<int64_t>(value) - offset;
+    uint64_t ov = 0;
     bool escape = false;
+    int32_t slot;
     if (raw < 0) {
         escape = true;
-        ov = 2u * static_cast<uint32_t>(-(raw + 1)) + 1u;  // zig-zag: negatives odd
-        raw = max_sym;
+        ov = 2ull * static_cast<uint64_t>(-(raw + 1)) + 1ull;  // negatives odd
+        slot = max_sym;
     } else if (raw >= max_sym) {
         escape = true;
-        ov = 2u * static_cast<uint32_t>(raw - max_sym);    // non-negatives even
-        raw = max_sym;
+        ov = 2ull * static_cast<uint64_t>(raw - max_sym);      // non-neg even
+        slot = max_sym;
+    } else {
+        slot = static_cast<int32_t>(raw);
     }
-    ops.push_back({cdf[raw], cdf[raw + 1] - cdf[raw], 0, 0});
+    ops.push_back({cdf[slot], cdf[slot + 1] - cdf[slot], 0, 0});
     if (escape) {
         // little-endian nibbles, each followed by a 1-bit continuation flag
         while (true) {
-            uint32_t nib = ov & ((1u << BYPASS_NIBBLE) - 1);
+            uint32_t nib = static_cast<uint32_t>(
+                ov & ((1ull << BYPASS_NIBBLE) - 1));
             ov >>= BYPASS_NIBBLE;
             uint32_t more = ov > 0 ? 1u : 0u;
             ops.push_back({0, 0, nib, BYPASS_NIBBLE});
@@ -186,22 +192,22 @@ void decode_one(const uint8_t* data, int64_t nbytes,
             while (cdf[s + 1] <= cf) ++s;
         }
         dec.advance(cdf[s], cdf[s + 1] - cdf[s], precision);
-        int32_t value;
+        int64_t value;
         if (s == max_sym) {
-            uint32_t ov = 0; int shift = 0;
+            uint64_t ov = 0; int shift = 0;
             while (true) {
-                uint32_t nib = dec.get_bits(BYPASS_NIBBLE);
+                uint64_t nib = dec.get_bits(BYPASS_NIBBLE);
                 uint32_t more = dec.get_bits(1);
                 ov |= nib << shift;
                 shift += BYPASS_NIBBLE;
                 if (!more) break;
             }
-            if (ov & 1u) value = -static_cast<int32_t>(ov >> 1) - 1;
-            else value = static_cast<int32_t>(ov >> 1) + max_sym;
+            if (ov & 1u) value = -static_cast<int64_t>(ov >> 1) - 1;
+            else value = static_cast<int64_t>(ov >> 1) + max_sym;
         } else {
             value = s;
         }
-        symbols_out[i] = value + offsets[idx];
+        symbols_out[i] = static_cast<int32_t>(value + offsets[idx]);
     }
 }
 
@@ -424,22 +430,22 @@ int32_t epic_rans_stream_decode(void* handle, const int32_t* indexes,
             while (cdf[sym + 1] <= cf) ++sym;
         }
         s->st.advance(cdf[sym], cdf[sym + 1] - cdf[sym], precision);
-        int32_t value;
+        int64_t value;
         if (sym == max_sym) {
-            uint32_t ov = 0; int shift = 0;
+            uint64_t ov = 0; int shift = 0;
             while (true) {
-                uint32_t nib = s->st.get_bits(BYPASS_NIBBLE);
+                uint64_t nib = s->st.get_bits(BYPASS_NIBBLE);
                 uint32_t more = s->st.get_bits(1);
                 ov |= nib << shift;
                 shift += BYPASS_NIBBLE;
                 if (!more) break;
             }
-            if (ov & 1u) value = -static_cast<int32_t>(ov >> 1) - 1;
-            else value = static_cast<int32_t>(ov >> 1) + max_sym;
+            if (ov & 1u) value = -static_cast<int64_t>(ov >> 1) - 1;
+            else value = static_cast<int64_t>(ov >> 1) + max_sym;
         } else {
             value = sym;
         }
-        symbols_out[i] = value + offsets[idx];
+        symbols_out[i] = static_cast<int32_t>(value + offsets[idx]);
     }
     return 0;
 }

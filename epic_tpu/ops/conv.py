@@ -10,9 +10,16 @@ from __future__ import annotations
 
 from flax import linen as nn
 
+# Kaiming-normal (He) initialization for every conv/deconv kernel —
+# reference: CompressionModel._initialize_weights applies
+# nn.init.kaiming_normal_ (fan_in, gain sqrt(2)) + zero bias to all
+# Conv2d/ConvTranspose2d modules (src/models/base.py:31-36). flax's bias
+# default is already zeros. Swap via `kernel_init=` for tests.
+KAIMING = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
 
 def conv(features: int, kernel_size: int = 5, stride: int = 2,
-         dtype=None) -> nn.Conv:
+         dtype=None, kernel_init=KAIMING) -> nn.Conv:
     """k x k conv with PyTorch-style p = k//2 padding (out = ceil(in/s))."""
     p = kernel_size // 2
     return nn.Conv(
@@ -21,11 +28,12 @@ def conv(features: int, kernel_size: int = 5, stride: int = 2,
         strides=(stride, stride),
         padding=[(p, p), (p, p)],
         dtype=dtype,
+        kernel_init=kernel_init,
     )
 
 
 def deconv(features: int, kernel_size: int = 5, stride: int = 2,
-           dtype=None) -> nn.ConvTranspose:
+           dtype=None, kernel_init=KAIMING) -> nn.ConvTranspose:
     """Transposed conv that exactly multiplies spatial dims by `stride`."""
     return nn.ConvTranspose(
         features,
@@ -33,17 +41,21 @@ def deconv(features: int, kernel_size: int = 5, stride: int = 2,
         strides=(stride, stride),
         padding="SAME",
         dtype=dtype,
+        kernel_init=kernel_init,
     )
 
 
-def conv1x1(features: int, stride: int = 1, dtype=None) -> nn.Conv:
+def conv1x1(features: int, stride: int = 1, dtype=None,
+            kernel_init=KAIMING) -> nn.Conv:
     return nn.Conv(features, (1, 1), strides=(stride, stride),
-                   padding="VALID", dtype=dtype)
+                   padding="VALID", dtype=dtype, kernel_init=kernel_init)
 
 
-def conv3x3(features: int, stride: int = 1, dtype=None) -> nn.Conv:
+def conv3x3(features: int, stride: int = 1, dtype=None,
+            kernel_init=KAIMING) -> nn.Conv:
     return nn.Conv(features, (3, 3), strides=(stride, stride),
-                   padding=[(1, 1), (1, 1)], dtype=dtype)
+                   padding=[(1, 1), (1, 1)], dtype=dtype,
+                   kernel_init=kernel_init)
 
 
 class SubpelConv(nn.Module):

@@ -57,10 +57,14 @@ def create_train_state(params, stage: str = "first_train",
                        multiple_encoder: bool = True) -> TrainState:
     mask = trainable_mask(params, stage, unfreeze_lrp,
                           multiple_decoder, multiple_encoder)
+    # inject_hyperparams makes the learning rate part of opt_state, so a
+    # ReduceLROnPlateau-style LR drop (set_learning_rate below) preserves
+    # the Adam moments — matching the reference's in-place scheduler
+    # (train.py:130) instead of re-initializing the optimizer.
     tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.multi_transform(
-            {"train": optax.adam(learning_rate),
+            {"train": optax.inject_hyperparams(optax.adam)(learning_rate),
              "freeze": optax.set_to_zero()},
             _label_tree(mask)),
     )
@@ -72,3 +76,50 @@ def create_train_state(params, stage: str = "first_train",
                       opt_state=tx.init(params),
                       aux_opt_state=aux_tx.init(params),
                       tx=tx, aux_tx=aux_tx)
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Return state with the main optimizer's learning rate replaced,
+    keeping all Adam moments (ReduceLROnPlateau analog, reference
+    train.py:130/279). Finds every inject_hyperparams state in the optax
+    chain and overwrites its 'learning_rate' entry."""
+    import jax.numpy as jnp
+
+    def visit(node):
+        hp = getattr(node, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            hp = dict(hp)
+            hp["learning_rate"] = jnp.asarray(
+                lr, jnp.asarray(hp["learning_rate"]).dtype)
+            return node._replace(hyperparams=hp)
+        if isinstance(node, tuple):
+            children = [visit(c) for c in node]
+            if hasattr(node, "_fields"):      # NamedTuple state
+                return type(node)(*children)
+            return tuple(children)
+        if isinstance(node, dict):
+            return {k: visit(v) for k, v in node.items()}
+        return node
+
+    return state.replace(opt_state=visit(state.opt_state))
+
+
+def get_learning_rate(state: TrainState) -> float:
+    """Read the current main learning rate back out of opt_state."""
+    found = []
+
+    def visit(node):
+        if hasattr(node, "hyperparams") and isinstance(
+                getattr(node, "hyperparams"), dict) and \
+                "learning_rate" in node.hyperparams:
+            found.append(float(node.hyperparams["learning_rate"]))
+            return
+        if isinstance(node, tuple):
+            for c in node:
+                visit(c)
+        elif isinstance(node, dict):
+            for c in node.values():
+                visit(c)
+
+    visit(state.opt_state)
+    return found[0] if found else float("nan")

@@ -122,16 +122,37 @@ def make_eval_step(model) -> Callable:
     return evaluate
 
 
+def make_valid_loss_step(model, plan: StagePlan) -> Callable:
+    """valid(params, batch, quality) -> stage-criterion loss (scalar).
+    The plateau scheduler steps on this, matching the reference's
+    lr_scheduler.step(criterion loss) at train.py:279."""
+    criterion = CRITERIA[plan.criterion]
+    lmbda = jnp.float32(plan.lmbda_list[-1])
+
+    @jax.jit
+    def valid(params, batch, quality):
+        out = model.apply(
+            {"params": params}, batch, quality, False,
+            method=VarianceMaskingPIC.forward_single_quality)
+        return criterion(out, batch, lmbda)["loss"]
+
+    return valid
+
+
 def _psnr(mse: np.ndarray) -> np.ndarray:
     return -10.0 * np.log10(np.maximum(mse, 1e-12))
 
 
 def valid_epoch(eval_step, params, batches,
-                pr_list: Sequence[float] = (0.76, 1, 1.25, 2, 3, 5, 10)):
+                pr_list: Sequence[float] = (0.76, 1, 1.25, 2, 3, 5, 10),
+                loss_step=None):
     """Entropy-estimation validation sweep (reference: step.py:137-204;
-    default grid train.py:275). Returns dict of per-level lists."""
+    default grid train.py:275). Returns dict of per-level lists; when a
+    loss_step (make_valid_loss_step) is given, also the mean stage-criterion
+    loss under 'loss'."""
     bpp = np.zeros(len(pr_list))
     psnr = np.zeros(len(pr_list))
+    losses = []
     n = 0
     for batch in batches:
         batch = jnp.asarray(batch)
@@ -139,10 +160,16 @@ def valid_epoch(eval_step, params, batches,
             _, b, mse = eval_step(params, batch, jnp.float32(q))
             bpp[k] += float(b)
             psnr[k] += float(_psnr(np.asarray(mse)).mean())
+            if loss_step is not None:
+                losses.append(float(loss_step(params, batch,
+                                              jnp.float32(q))))
         n += 1
     n = max(n, 1)
-    return {"bpp": (bpp / n).tolist(), "psnr": (psnr / n).tolist(),
-            "pr_list": list(pr_list)}
+    out = {"bpp": (bpp / n).tolist(), "psnr": (psnr / n).tolist(),
+           "pr_list": list(pr_list)}
+    if losses:
+        out["loss"] = float(np.mean(losses))
+    return out
 
 
 # the 15-level grid the reference evaluates on (train.py:189,282)

@@ -162,3 +162,21 @@ class TestBufferedStream:
 
         with _pytest.raises(ValueError):
             coder.stream_decoder(b"abc")
+
+
+class TestExtremeEscapeValues:
+    """The zig-zag escape value is computed in 64-bit: symbols anywhere in
+    the int32 range must round-trip exactly instead of silently wrapping
+    (advisor finding: 32-bit zig-zag overflowed near |value| ~ 2^31)."""
+
+    def test_int32_extremes_roundtrip(self, coder):
+        vals = np.array([-2**31, 2**31 - 1, -2**30, 2**30, 2**16, -2**16,
+                         -1, 0, 1, 12345678, -98765432], np.int32)
+        idx = np.zeros_like(vals)
+        blob = coder.encode_with_indexes(vals, idx)
+        np.testing.assert_array_equal(
+            coder.decode_with_indexes(blob, idx), vals)
+        # streaming decoder takes the same escape path
+        dec = coder.stream_decoder(blob)
+        np.testing.assert_array_equal(dec.decode_stream(idx), vals)
+        dec.close()
