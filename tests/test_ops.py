@@ -179,3 +179,34 @@ class TestREM:
         am = jnp.ones((1, 4, 4, 8))
         v = m.init(KEY, xb, pb, pp, am)
         assert m.apply(v, xb, pb, pp, am).shape == (1, 4, 4, 8)
+
+
+class TestInitStability:
+    """Regression: the default kernel init must keep the training-mode
+    forward in a trainable regime at init. A gain-sqrt(2) (Kaiming) default
+    was measured to blow x_hat up to ~3e4 through the deep transform stacks
+    + inverse-GDN amplification (see ops/conv.py) — training never
+    recovered. DEFAULT_INIT (gain 1.0) keeps activations O(1)."""
+
+    def test_training_forward_bounded_at_init(self):
+        from epic_tpu.models import get_model
+        from epic_tpu.training import scalable_rate_distortion_loss
+
+        x = jax.random.uniform(KEY, (1, 64, 64, 3))
+        m = get_model("pic", n=16, m=32, division=(16, 32), dim_chunk=8,
+                      param_net_widths=(24, 16))
+        v = m.init({"params": jax.random.key(1),
+                    "noise": jax.random.key(2)}, x, method="init_all")
+        out = m.apply(v, x, [0, 10], True, rngs={"noise": jax.random.key(3)})
+        assert float(jnp.abs(out["x_hat"]).max()) < 10.0
+        d = scalable_rate_distortion_loss(
+            out, x, jnp.asarray([0.0055, 0.04], jnp.float32))
+        assert float(d["loss"]) < 1e5 and np.isfinite(float(d["loss"]))
+
+    def test_kaiming_still_available(self):
+        from epic_tpu.ops.conv import KAIMING, conv
+
+        k = conv(8, kernel_init=KAIMING)
+        w = k.init(KEY, jnp.zeros((1, 16, 16, 4)))["params"]["kernel"]
+        # He: std ~ sqrt(2 / fan_in), fan_in = 5*5*4
+        assert abs(float(w.std()) - (2 / 100) ** 0.5) < 0.02

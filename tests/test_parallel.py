@@ -1,0 +1,151 @@
+"""Data-parallel correctness + multi-host smoke tests.
+
+The actual correctness property of data parallelism (SURVEY.md §2.8
+consequence): an 8-device sharded train step must produce the SAME params
+and loss as the 1-device step on the identical global batch — sharding is
+a layout annotation, not a semantic change. Also exercises
+parallel.distributed with a real 2-process jax.distributed CPU cluster.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from epic_tpu.models import get_model
+from epic_tpu.parallel import (init_multihost, local_shard, make_mesh,
+                               make_parallel_train_step, replicate,
+                               shard_batch)
+from epic_tpu.training import create_train_state, make_stage, make_train_step
+
+TINY_PIC = dict(n=16, m=32, division=(16, 32), dim_chunk=8,
+                param_net_widths=(24, 16))
+
+
+def _tree_allclose(a, b, rtol, atol):
+    flat_a, _ = jax.tree.flatten(a)
+    flat_b, _ = jax.tree.flatten(b)
+    assert len(flat_a) == len(flat_b)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=rtol, atol=atol)
+
+
+class TestDataParallelEquivalence:
+    """8-device DP step == 1-device step on the same global batch."""
+
+    @pytest.mark.parametrize("stage", ["first_train", "refine_gs"])
+    def test_dp_step_matches_single_device(self, stage):
+        model = get_model("pic", **TINY_PIC)
+        batch = jax.random.uniform(jax.random.key(0), (8, 64, 64, 3))
+        variables = model.init(
+            {"params": jax.random.key(1), "noise": jax.random.key(2)},
+            batch[:1], method="init_all")
+        plan = make_stage(stage)
+
+        # single device (plain jit, no sharding)
+        state1 = create_train_state(variables["params"], stage)
+        step1 = make_train_step(model, plan)
+        # 8-device mesh
+        mesh = make_mesh(8)
+        state8 = create_train_state(variables["params"], stage)
+        state8 = replicate(state8, mesh)
+        step8 = make_parallel_train_step(model, plan, mesh)
+
+        losses1, losses8 = [], []
+        for i in range(2):
+            rng = jax.random.key(100 + i)
+            if plan.sampling:
+                q, lm = jnp.float32(1.5), jnp.float32(0.04)
+                state1, m1 = step1(state1, batch, rng, q, lm)
+                state8, m8 = step8(state8, shard_batch(batch, mesh),
+                                   replicate(rng, mesh), q, lm)
+            else:
+                state1, m1 = step1(state1, batch, rng)
+                state8, m8 = step8(state8, shard_batch(batch, mesh),
+                                   replicate(rng, mesh))
+            losses1.append(float(m1["loss"]))
+            losses8.append(float(m8["loss"]))
+
+        # step-1 loss: identical params + identical global batch, so any
+        # difference is pure cross-shard reduction order
+        np.testing.assert_allclose(losses1[0], losses8[0], rtol=1e-5)
+        # after optimizer steps, reduction-order noise is amplified by
+        # Adam's normalized update (grad/sqrt(v) flips sign where grads
+        # ~0), so each step can move a param by up to ~lr=1e-4 in either
+        # run; bound the divergence by a few lr
+        np.testing.assert_allclose(losses1, losses8, rtol=2e-3)
+        _tree_allclose(state1.params, jax.device_get(state8.params),
+                       rtol=2e-3, atol=5e-4)
+
+
+class TestMultiHost:
+    def test_local_shard_partitions(self):
+        items = list(range(10))
+        shards = [local_shard(items, process_index=i, process_count=3)
+                  for i in range(3)]
+        assert shards == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9]]
+        assert sum(shards, []) == items
+
+    def test_two_process_jax_distributed(self, tmp_path):
+        """Real 2-process jax.distributed cluster over localhost: psum
+        across processes + init_multihost plumbing."""
+        worker = textwrap.dedent("""
+            import os, sys
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+            pid = int(sys.argv[1]); port = sys.argv[2]
+            sys.path.insert(0, sys.argv[3])
+            from epic_tpu.parallel import init_multihost, local_shard
+            ok = init_multihost(coordinator_address=f"localhost:{port}",
+                                num_processes=2, process_id=pid)
+            assert ok
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            from jax.experimental import multihost_utils
+            assert jax.process_count() == 2
+            assert len(jax.devices()) == 2  # global view over DCN
+            mesh = Mesh(np.asarray(jax.devices()), ("data",))
+            local = jnp.asarray([float(jax.process_index() + 1)])
+            garr = multihost_utils.host_local_array_to_global_array(
+                local, mesh, P("data"))
+            total = jax.jit(
+                lambda a: jnp.sum(a),
+                in_shardings=NamedSharding(mesh, P("data")),
+                out_shardings=NamedSharding(mesh, P()))(garr)
+            assert float(total) == 3.0, float(total)
+            shard = local_shard(list(range(4)))
+            assert shard == ([0, 1] if jax.process_index() == 0 else [2, 3])
+            print("WORKER_OK", pid)
+        """)
+        script = tmp_path / "worker.py"
+        script.write_text(worker)
+        import socket
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["PYTHONPATH"] = ""
+        procs = [subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port), repo],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out.decode())
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {i} failed:\n{out}"
+            assert f"WORKER_OK {i}" in out
+
+    def test_init_multihost_noop_single_process(self):
+        assert init_multihost() is False
