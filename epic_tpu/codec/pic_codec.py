@@ -39,14 +39,6 @@ class PICCodec:
 
     def __init__(self, model: VarianceMaskingPIC, variables,
                  nthreads: int = 16):
-        if model.ns1 > model.ns0 and not model.all_scalable:
-            # the codec's hoisted progressive-parameter programs rely on
-            # the quality-independent (all_scalable) support chain; the
-            # non-scalable variant would need per-slice host interleaving
-            raise NotImplementedError(
-                "PICCodec requires all_scalable=True (the paper's "
-                "configuration); all_scalable=False is supported in the "
-                "model forwards only")
         self.model = model
         self.variables = variables
         self.gaussian = GaussianConditional().update()
@@ -290,6 +282,73 @@ class PICCodec:
             return f
         return self._prog(("prog_reconstruct_all", n_levels), make)
 
+    # ---- all_scalable=False: per-slice interleaved progressive programs
+    # (reference: pic.py:769-831 compress / 905-967 decompress — the
+    # support is the DECODED progressive slices of this quality, so the
+    # decoder must alternate device params <-> host entropy decode per
+    # slice, exactly like the base chain) ----
+
+    def _p_ns_prog_params(self, i: int, quality_key, with_ckpt: bool = False):
+        """Entropy params + mask + CDF indexes for progressive slice i at
+        one quality, supported on the decoded prog slices so far. Shared
+        bitwise between compress and decompress (mask identity)."""
+        def make():
+            q = quality_key
+
+            def f(v, lm, ls, y_hat_base_i, prog_slices, ckpt=None,
+                  mu_b_i=None, scale_b_i=None):
+                lm_e = lm[..., self.model.division[0]:]
+                ls_e = ls[..., self.model.division[0]:]
+                mu, _, scale, msup = self.model.apply(
+                    v, lm_e, ls_e, y_hat_base_i, list(prog_slices),
+                    list(prog_slices), i,
+                    method=VarianceMaskingPIC.prog_slice_params)
+                if with_ckpt:
+                    mu, scale = self.model.apply(
+                        v, i, q, mu, scale, ckpt, mu_b_i, scale_b_i,
+                        method=type(self.model)._refine_prog_params)
+                mask = variance_mask(scale, q, self.model.mask_policy)
+                idx = build_indexes(scale * mask, self._scale_table,
+                                    self.model.scale_bound).astype(jnp.int8)
+                return mu, scale, mask, idx, msup
+            return f
+        return self._prog(("ns_prog_params", i, quality_key, with_ckpt),
+                          make)
+
+    def _p_ns_prog_sym(self, i: int):
+        def make():
+            ns0, c = self.model.ns0, self.model.dim_chunk
+
+            def f(y, mu, mask):
+                r_i = y[..., (ns0 + i) * c:(ns0 + i + 1) * c]
+                if self.model.delta_encode:
+                    r_i = r_i - y[..., i * c:(i + 1) * c]
+                sym = jnp.round((r_i - mu) * mask)
+                flag = (jnp.abs(sym) > 32000).any()
+                return sym.astype(jnp.int16), sym.astype(jnp.int32), flag
+            return f
+        return self._prog(("ns_prog_sym", i), make)
+
+    def _p_ns_prog_finish(self, i: int):
+        def make():
+            def f(v, sym, mu, msup, y_hat_base_i):
+                y_hat = sym.astype(jnp.float32) + mu
+                return self.model.apply(
+                    v, y_hat, msup, y_hat_base_i, i,
+                    method=VarianceMaskingPIC.finish_prog_slice)
+            return f
+        return self._prog(("ns_prog_finish", i), make)
+
+    def _p_synth_prog(self):
+        def make():
+            def f(v, slices):
+                y = jnp.concatenate(list(slices), axis=-1)
+                x = self.model.apply(
+                    v, y, method=VarianceMaskingPIC.synthesize_prog)
+                return jnp.clip(x, 0.0, 1.0), y
+            return f
+        return self._prog("synth_prog", make)
+
     def _p_prog_reconstruct(self):
         def make():
             def f(v, sym_s, mu_s, msups, y_hat_base_slices):
@@ -435,6 +494,11 @@ class PICCodec:
                                   "base_slices": tuple(y_hat_slices)}
             return out
 
+        if not self.model.all_scalable:
+            return self._compress_non_scalable(
+                out, y, y_hat_slices, lm, ls, mus_b, scales_b,
+                float(quality), checkpoint_rep, return_latents)
+
         # --- progressive stage: one params program + one host encode ---
         if checkpoint_rep is not None:
             mu_s, scale_s, mask, idx, msups = self._p_prog_params(
@@ -455,6 +519,82 @@ class PICCodec:
                 v, sym32, mu_s, msups, tuple(y_hat_slices))
             out["y_hat"] = y_prog
         return out
+
+    def _compress_non_scalable(self, out, y, y_hat_slices, lm, ls,
+                               mus_b, scales_b, quality: float,
+                               checkpoint_rep, return_latents: bool):
+        """Progressive encode with quality-dependent support
+        (all_scalable=False, reference pic.py:769-831): slice i's entropy
+        params condition on the reconstructed slices 0..i-1 at THIS
+        quality, so the chain interleaves params and reconstruction. The
+        encoder knows all symbols, so everything stays on device until one
+        batched symbol fetch at the end."""
+        v = self.variables
+        with_ckpt = checkpoint_rep is not None
+        ckpt = jnp.asarray(checkpoint_rep) if with_ckpt else None
+        prog_slices: List[jnp.ndarray] = []
+        sym16s, sym32s, flags, idxs = [], [], [], []
+        for i in range(self.model.ns1 - self.model.ns0):
+            if with_ckpt:
+                mu, scale, mask, idx, msup = self._p_ns_prog_params(
+                    i, quality, True)(v, lm, ls, y_hat_slices[i],
+                                      tuple(prog_slices), ckpt,
+                                      mus_b[i], scales_b[i])
+            else:
+                mu, scale, mask, idx, msup = self._p_ns_prog_params(
+                    i, quality)(v, lm, ls, y_hat_slices[i],
+                                tuple(prog_slices))
+            sym16, sym32, flag = self._p_ns_prog_sym(i)(y, mu, mask)
+            y_hat = self._p_ns_prog_finish(i)(v, sym32, mu, msup,
+                                              y_hat_slices[i])
+            prog_slices.append(y_hat)
+            sym16s.append(sym16)
+            sym32s.append(sym32)
+            flags.append(flag)
+            idxs.append(idx)
+        if bool(jax.device_get(jnp.stack(flags).any())):
+            sym_np = np.asarray(jax.device_get(jnp.stack(sym32s)), np.int32)
+        else:
+            sym_np = np.asarray(
+                jax.device_get(jnp.stack(sym16s))).astype(np.int32)
+        idx_np = np.asarray(jax.device_get(jnp.stack(idxs))).astype(np.int32)
+        for i in range(self.model.ns1 - self.model.ns0):
+            out["strings"][0].append(self._encode_slice(sym_np[i],
+                                                        idx_np[i]))
+        if return_latents:
+            _, y_prog = self._p_synth_prog()(v, tuple(prog_slices))
+            out["y_hat"] = y_prog
+        return out
+
+    def _decompress_non_scalable(self, y_strings, y_hat_slices, lm, ls,
+                                 mus_b, scales_b, quality: float,
+                                 checkpoint_rep) -> Dict[str, Any]:
+        """Mirror of _compress_non_scalable (reference pic.py:905-967):
+        device params -> host entropy decode -> device reconstruct, one
+        round-trip per progressive slice (the data dependency is real —
+        slice i+1's params need slice i's decoded content)."""
+        v = self.variables
+        with_ckpt = checkpoint_rep is not None
+        ckpt = jnp.asarray(checkpoint_rep) if with_ckpt else None
+        ns0 = self.model.ns0
+        prog_slices: List[jnp.ndarray] = []
+        for i in range(self.model.ns1 - ns0):
+            if with_ckpt:
+                mu, scale, mask, idx, msup = self._p_ns_prog_params(
+                    i, quality, True)(v, lm, ls, y_hat_slices[i],
+                                      tuple(prog_slices), ckpt,
+                                      mus_b[i], scales_b[i])
+            else:
+                mu, scale, mask, idx, msup = self._p_ns_prog_params(
+                    i, quality)(v, lm, ls, y_hat_slices[i],
+                                tuple(prog_slices))
+            idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
+            sym = self._decode_slice(y_strings[ns0 + i], idx_np)
+            y_hat = self._p_ns_prog_finish(i)(v, jnp.asarray(sym), mu,
+                                              msup, y_hat_slices[i])
+            prog_slices.append(y_hat)
+        x_hat, y_prog = self._p_synth_prog()(v, tuple(prog_slices))
+        return {"x_hat": x_hat, "y_hat": y_prog}
 
     def extract_checkpoint(self, x, quality: float,
                            checkpoint_rep=None):
@@ -518,6 +658,11 @@ class PICCodec:
         if quality <= 0:
             x_hat, y_hat_b = self._p_synth_base()(v, tuple(y_hat_slices))
             return {"x_hat": x_hat, "y_hat": y_hat_b}
+
+        if not self.model.all_scalable:
+            return self._decompress_non_scalable(
+                y_strings, y_hat_slices, lm, ls, mus_b, scales_b,
+                float(quality), checkpoint_rep)
 
         if checkpoint_rep is not None:
             mu_s, scale_s, mask, idx, msups = self._p_prog_params(

@@ -72,6 +72,17 @@ def progressive_encode(codec: PICCodec, x,
     (bitstreams, [bits_z, bits_base, [per-shell bits]]) like the reference
     encode (functions_encode.py:15-64)."""
     q_list = list(q_list if q_list is not None else DEFAULT_Q_LIST)
+    if codec.model.ns1 > codec.model.ns0 and not codec.model.all_scalable:
+        # shell encoding quantizes every residual ONCE against
+        # quality-independent params; with all_scalable=False the params
+        # change per quality, so no single symbol grid exists (the
+        # reference's single-bitstream demo likewise assumes the paper's
+        # all_scalable configuration, functions_encode.py:68-196). Use
+        # PICCodec.compress/decompress per quality instead.
+        raise ValueError(
+            "progressive (single-bitstream) coding requires "
+            "all_scalable=True; use PICCodec.compress per quality for "
+            "all_scalable=False models")
     v = codec.variables
 
     out_base = codec.compress(x, quality=0, return_latents=True)

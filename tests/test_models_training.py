@@ -287,12 +287,44 @@ class TestReviewFixes:
         assert not np.allclose(np.asarray(out["x_hat"]),
                                np.asarray(out3["x_hat"]))
 
-    def test_codec_rejects_non_all_scalable(self, x):
+    def test_non_all_scalable_codec_roundtrip_bit_exact(self, x):
+        """all_scalable=False real codec: per-slice interleaved decode
+        reproduces the encoder's latent bitwise at several qualities, and
+        the progressive (shell) codec refuses the config with a clear
+        error (reference pic.py:671-967 handles both configs)."""
         m = get_model("pic", all_scalable=False, **TINY_PIC)
         v = m.init({"params": jax.random.key(1),
                     "noise": jax.random.key(2)}, x, method="init_all")
-        with pytest.raises(NotImplementedError):
-            PICCodec(m, v)
+        codec = PICCodec(m, v)
+        sizes = []
+        for q in (0.5, 2.0, 10.0):
+            enc = codec.compress(x, quality=q, return_latents=True)
+            dec = codec.decompress(enc)
+            np.testing.assert_array_equal(np.asarray(enc["y_hat"]),
+                                          np.asarray(dec["y_hat"]))
+            assert dec["x_hat"].shape == x.shape
+            sizes.append(sum(len(s) for sl in enc["strings"][0]
+                             for s in sl))
+        # more quality -> more transmitted residual mass
+        assert sizes[0] <= sizes[1] <= sizes[2]
+
+        from epic_tpu.codec import progressive_encode
+        with pytest.raises(ValueError, match="all_scalable"):
+            progressive_encode(codec, x, q_list=[0.5, 10.0])
+
+    def test_non_all_scalable_rem_codec_roundtrip(self, x):
+        """REM refinement through the interleaved (all_scalable=False)
+        codec path: checkpoint-latent conditioning round-trips bitwise."""
+        m = get_model("rem", all_scalable=False, **TINY_REM)
+        v = m.init({"params": jax.random.key(3),
+                    "noise": jax.random.key(4)}, x, method="init_all")
+        codec = PICCodec(m, v)
+        ckpt = codec.extract_checkpoint(x, 0.5)
+        enc = codec.compress(x, quality=3.0, return_latents=True,
+                             checkpoint_rep=ckpt)
+        dec = codec.decompress(enc, checkpoint_rep=ckpt)
+        np.testing.assert_array_equal(np.asarray(enc["y_hat"]),
+                                      np.asarray(dec["y_hat"]))
 
     def test_negative_max_support_uses_all_slices(self, x):
         m = get_model("pic", max_support_slices=-1, **TINY_PIC)
