@@ -1,13 +1,21 @@
 """Benchmark: full progressive RD sweep (encode once + decode all 16
-levels) on Kodak-geometry images, one TPU chip.
+levels) on photographic Kodak-geometry images, one TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Workload = the reference's headline use case (demo.py default path): the
-flagship VarianceMaskingPIC (N=192, M=640, 20 slices, dual
-encoder/decoder/hyperprior) progressive-encodes a 768x512 image into a
-base stream + 15 delta shells, then incrementally decodes every level
-(reconstruction at each), device transforms on TPU + batched host rANS.
+Workload = the reference's headline use case (demo.py default path):
+progressive-encode a 768x512 photograph into a base stream + 15 delta
+shells, then decode every level (reconstruction at each), device
+transforms on TPU + batched host rANS. Content is real photographic crops
+out of the reference's teaser figure (the only photographs in this
+environment) — NOT synthetic noise. When a trained checkpoint is present
+(BENCH_CKPT env or artifacts/ckpt_r2, committed by the round-2 training
+run) the sweep runs on trained weights, so bpp/PSNR are a real RD curve;
+otherwise it falls back to the flagship architecture at init.
+
+Extras in the JSON line: per-level decode seconds (incremental path — the
+paper's headline claim, reference step.py:304-313 / demo.py:121,153),
+per-level bpp + PSNR, and an encode/decode/host-rANS wall split.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.json
 "published": {}); its target line is ">=10x CPU-reference encode+decode
@@ -32,10 +40,36 @@ N_IMAGES = int(os.environ.get("BENCH_IMAGES", "4"))
 # (B=4 measured ~1.3x over B=1; B=8 exceeds v5e HBM). Falls back to 1 on
 # any failure.
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+TEASER = "/root/reference/imgs/teaser.png"
+DEFAULT_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "artifacts", "ckpt_r2")
 
 
 def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def photo_images(n):
+    """768x512 photographic crops from the reference teaser figure
+    (kodim21 lighthouse photo + sea-rock detail panels)."""
+    import numpy as np
+    from epic_tpu.data.device_bank import TEASER_REGIONS
+    from PIL import Image
+
+    im = np.asarray(Image.open(TEASER).convert("RGB"))
+    y0, y1, x0, x1 = TEASER_REGIONS["main"]
+    main = im[y0:y1, x0:x1]  # 984 x 1464
+    h, w = main.shape[:2]
+    crops = []
+    for oy in (0, h - 512):
+        for ox in (0, (w - 768) // 2, w - 768):
+            crops.append(main[oy:oy + 512, ox:ox + 768])
+    dy0, dy1, dx0, dx1 = TEASER_REGIONS["d0"]
+    d0 = im[dy0:dy1, dx0:dx1]
+    crops.append(np.asarray(
+        Image.fromarray(d0).resize((768, 512), Image.LANCZOS)))
+    out = [c.astype(np.float32) / 255.0 for c in crops]
+    return [out[i % len(out)] for i in range(n)]
 
 
 def synth_images(n, rng):
@@ -68,6 +102,41 @@ def _enable_compile_cache():
         pass
 
 
+def _load_model_and_params():
+    """Trained checkpoint when available, flagship at init otherwise."""
+    import jax
+    import jax.numpy as jnp
+    from epic_tpu.models import get_model
+
+    ckpt_dir = os.environ.get("BENCH_CKPT", DEFAULT_CKPT)
+    if os.path.exists(os.path.join(ckpt_dir, "config.json")):
+        from epic_tpu.training import load_checkpoint
+
+        which = "best" if os.path.exists(
+            os.path.join(ckpt_dir, "best")) else "last"
+        model, params, config, step = load_checkpoint(
+            ckpt_dir, which, config_overrides={"compute_dtype": "bfloat16"})
+        params = jax.device_put(params, jax.devices()[0])
+        jax.block_until_ready(params)
+        log(f"loaded trained checkpoint {ckpt_dir}/{which} (step {step}, "
+            f"{config.get('model')}, N={config.get('n')} M={config.get('m')})")
+        return model, params, f"{os.path.basename(ckpt_dir)}/{which}@{step}"
+
+    # bfloat16 transforms (entropy math stays f32) — measured 1.4x over
+    # f32 on v5e; round-trips remain bit-exact
+    model = get_model("pic", compute_dtype="bfloat16")
+    # init params on the host CPU backend (cheap, avoids a giant device
+    # compile), then transfer once
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = jax.jit(lambda: model.init(
+            {"params": jax.random.key(0)},
+            jnp.zeros((1, 64, 64, 3), jnp.float32), method="init_all"))()
+    params = jax.device_put(variables["params"], jax.devices()[0])
+    jax.block_until_ready(params)
+    log("no trained checkpoint found; flagship (N=192, M=640) at init")
+    return model, params, None
+
+
 def main():
     import numpy as np
     import jax
@@ -75,27 +144,24 @@ def main():
 
     _enable_compile_cache()
 
-    from epic_tpu.models import get_model
-    from epic_tpu.codec import (PICCodec, progressive_decode_all,
-                                progressive_encode)
+    from epic_tpu.codec import (PICCodec, progressive_decode,
+                                progressive_decode_all, progressive_encode)
 
     t_all = time.time()
-    # bfloat16 transforms (entropy math stays f32) — measured 1.4x over
-    # f32 on v5e; round-trips remain bit-exact
-    model = get_model("pic", compute_dtype="bfloat16")
     t0 = time.time()
-    # init params on the host CPU backend (cheap, avoids a giant device
-    # compile), then transfer once
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        variables = jax.jit(lambda: model.init(
-            {"params": jax.random.key(0)},
-            jnp.zeros((1, 64, 64, 3), jnp.float32), method="init_all"))()
-    variables = jax.device_put(variables, jax.devices()[0])
-    jax.block_until_ready(variables)
+    model, params, ckpt_name = _load_model_and_params()
     log(f"init {time.time()-t0:.1f}s on {jax.devices()[0].platform}")
 
-    codec = PICCodec(model, {"params": variables["params"]})
+    codec = PICCodec(model, {"params": params})
     rng = np.random.default_rng(0)
+    try:
+        make_images = lambda n: photo_images(n)  # noqa: E731
+        content = "photo"
+        make_images(1)
+    except Exception as e:
+        log(f"teaser unavailable ({e}); synthetic fallback")
+        make_images = lambda n: synth_images(n, rng)  # noqa: E731
+        content = "synthetic"
 
     @jax.jit
     def per_level_psnr(x_hat, x):
@@ -104,8 +170,9 @@ def main():
 
     def run(batch: int):
         n_sweeps = max(N_IMAGES // batch, 1)
-        images = [np.stack(synth_images(batch, rng))
-                  for _ in range(n_sweeps + 1)]
+        pool = make_images(batch * (n_sweeps + 1))
+        images = [np.stack(pool[k * batch:(k + 1) * batch])
+                  for k in range(n_sweeps + 1)]
         t0 = time.time()
         x = jnp.asarray(images[0])
         bs, _ = progressive_encode(codec, x, Q_LIST)
@@ -113,33 +180,71 @@ def main():
         np.asarray(per_level_psnr(out["x_hat"], x))
         log(f"warmup/compile (batch={batch}) {time.time()-t0:.1f}s")
 
+        codec.y_coder.stats.update(encode_s=0.0, decode_s=0.0)
+        codec.z_coder.stats.update(encode_s=0.0, decode_s=0.0)
         t0 = time.time()
-        total_bits, psnrs = 0.0, None
+        t_enc = t_dec = 0.0
+        total_bits, psnrs, bits = 0.0, None, None
         for img in images[1:]:
             x = jnp.asarray(img)
+            t1 = time.time()
             bs, bits = progressive_encode(codec, x, Q_LIST)
+            t_enc += time.time() - t1
+            t1 = time.time()
             out = progressive_decode_all(codec, bs)
+            jax.block_until_ready(out["x_hat"])  # count async device work
+            t_dec += time.time() - t1
             # the sweep's deliverable: per-level PSNR, computed on device
             psnrs = np.asarray(per_level_psnr(out["x_hat"], x))
             total_bits += bits[0] + bits[1] + sum(bits[2])
         elapsed = time.time() - t0
-        return n_sweeps * batch / elapsed, total_bits, psnrs,             n_sweeps * batch, elapsed
+        rans_s = (codec.y_coder.stats["encode_s"]
+                  + codec.y_coder.stats["decode_s"]
+                  + codec.z_coder.stats["encode_s"]
+                  + codec.z_coder.stats["decode_s"])
+        split = {"encode_s": round(t_enc, 3), "decode_all_s": round(t_dec, 3),
+                 "host_rans_s": round(rans_s, 3)}
+        # cumulative per-level bpp of the last sweep (base, then shells)
+        px = batch * 512 * 768
+        bpp_levels = np.cumsum(
+            [bits[0] + bits[1]] + list(bits[2])) / px
+        return (n_sweeps * batch / elapsed, total_bits, psnrs, bpp_levels,
+                split, n_sweeps * batch, elapsed, bs)
 
     try:
-        img_per_s, total_bits, psnrs, n_done, elapsed = run(BATCH)
+        (img_per_s, total_bits, psnrs, bpp_levels, split, n_done, elapsed,
+         last_bs) = run(BATCH)
     except Exception as e:  # OOM or tunnel failure -> single-image path
         log(f"batch={BATCH} failed ({type(e).__name__}); retrying batch=1")
-        img_per_s, total_bits, psnrs, n_done, elapsed = run(1)
+        (img_per_s, total_bits, psnrs, bpp_levels, split, n_done, elapsed,
+         last_bs) = run(1)
+
+    # per-level decode time: the incremental/streaming path (what a client
+    # actually experiences per refinement; reference demo.py:121,153)
+    per_level_s = []
+    cache = {}
+    for lvl in range(len(Q_LIST) + 1):
+        t1 = time.time()
+        out = progressive_decode(codec, last_bs, lvl, cache)
+        jax.block_until_ready(out["x_hat"])
+        per_level_s.append(round(time.time() - t1, 4))
+
     log(f"{n_done} images x {len(Q_LIST)+1} levels in {elapsed:.1f}s; "
         f"top-quality bpp {total_bits/(n_done*512*768):.3f}; "
         f"psnr[0/8/16]={psnrs[0]:.2f}/{psnrs[8]:.2f}/"
-        f"{psnrs[-1]:.2f}; total wall {time.time()-t_all:.0f}s")
+        f"{psnrs[-1]:.2f}; split {split}; total wall {time.time()-t_all:.0f}s")
 
     print(json.dumps({
         "metric": "kodak_progressive_rd_sweep_img_per_s_per_chip",
         "value": round(img_per_s, 4),
         "unit": "img/s (encode once + decode all 16 levels, 768x512)",
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 4),
+        "content": content,
+        "checkpoint": ckpt_name,
+        "bpp_per_level": [round(float(b), 4) for b in bpp_levels],
+        "psnr_per_level": [round(float(p), 2) for p in psnrs],
+        "per_level_decode_s": per_level_s,
+        "split": split,
     }))
 
 

@@ -11,6 +11,7 @@ across host threads in C++.
 from __future__ import annotations
 
 import ctypes
+import time
 from typing import Sequence
 
 import numpy as np
@@ -104,6 +105,9 @@ class RansCoder:
         self.precision = int(precision)
         self.nthreads = int(nthreads)
         self._lib = load_library()
+        # host-rANS wall-time accounting (batched calls), for the bench's
+        # encode/decode/host time split — reset with stats.update(...)
+        self.stats = {"encode_s": 0.0, "decode_s": 0.0}
 
     # -- single message ---------------------------------------------------
 
@@ -157,6 +161,7 @@ class RansCoder:
         msg_lengths[i] gives message i's symbol count. Runs all messages in
         parallel on host threads; one C call total.
         """
+        t_start = time.perf_counter()
         symbols = _ascontig(symbols, np.int32).ravel()
         indexes = _ascontig(indexes, np.int32).ravel()
         lengths = _ascontig(msg_lengths, np.int64).ravel()
@@ -177,14 +182,17 @@ class RansCoder:
         )
         if rc != 0:
             raise RuntimeError("batched rANS encode failed")
-        return [
+        res = [
             out[i * cap:i * cap + int(out_lengths[i])].tobytes()
             for i in range(m)
         ]
+        self.stats["encode_s"] += time.perf_counter() - t_start
+        return res
 
     def decode_batch(self, datas: Sequence[bytes], indexes,
                      msg_lengths: Sequence[int]) -> np.ndarray:
         """Decode M messages; returns one packed int32 symbol buffer."""
+        t_start = time.perf_counter()
         indexes = _ascontig(indexes, np.int32).ravel()
         lengths = _ascontig(msg_lengths, np.int64).ravel()
         m = lengths.size
@@ -207,6 +215,7 @@ class RansCoder:
         )
         if rc != 0:
             raise RuntimeError(f"batched rANS decode failed with code {rc}")
+        self.stats["decode_s"] += time.perf_counter() - t_start
         return out
 
 
