@@ -1,0 +1,113 @@
+"""End-to-end cli/train.py integration test on a tiny config.
+
+Runs the real `main()` through the stage transitions the reference
+exercises via repeated launches (src/train.py:91-123): first_train from
+scratch -> refine_gs resumed with --checkpoint -> rems with --model rem
+(PIC->REM merge). Asserts the loss actually decreases during first_train
+and that every stage's checkpoints reload.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from epic_tpu.cli.train import main as train_main
+from epic_tpu.training import load_checkpoint
+
+TINY_FLAGS = [
+    "--N", "16", "--M", "32", "--division_dimension", "16", "32",
+    "--dim_chunk", "8", "--param_net_widths", "24", "16",
+    "--patch_size", "64", "--batch_size", "2", "--valid_batch_size", "2",
+    "--eval_every", "1000",  # skip the real-codec eval (covered elsewhere)
+]
+
+
+@pytest.fixture(scope="module")
+def data_dirs(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("cli_data")
+    rng = np.random.default_rng(7)
+    # smooth photographic-ish gradients + texture, not pure noise
+    yy, xx = np.mgrid[0:96, 0:96].astype(np.float32)
+    for split, n in (("train", 6), ("test", 2)):
+        d = root / "trainset" / split / "data"
+        d.mkdir(parents=True)
+        for i in range(n):
+            img = np.stack([
+                0.5 + 0.4 * np.sin(xx / (9 + i) + yy / 13),
+                0.5 + 0.4 * np.cos(xx / 11 - yy / (7 + i)),
+                (xx + yy) / 192.0,
+            ], -1) + rng.normal(0, 0.03, (96, 96, 3))
+            Image.fromarray(
+                (np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+                d / f"im{i}.png")
+    k = root / "kodak"
+    k.mkdir()
+    for i in range(2):
+        img = rng.uniform(0, 1, (64, 64, 3))
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            k / f"test{i}.png")
+    return str(root / "trainset"), str(k)
+
+
+class TestTrainCLI:
+    def test_full_stage_transitions(self, data_dirs, tmp_path, capsys):
+        train_root, kodak = data_dirs
+        save = str(tmp_path / "ckpt")
+        common = TINY_FLAGS + [
+            "--training_dataset", train_root, "--test_dataset", kodak,
+            "--save_path", save,
+        ]
+
+        # ---- stage 1: first_train from scratch, loss must decrease ----
+        train_main(common + [
+            "--training_type", "first_train", "--epochs", "3",
+            "--steps_per_epoch", "4", "--learning_rate", "1e-3",
+        ])
+        out = capsys.readouterr().out
+        losses = [float(line.split("train loss ")[1].split(" ")[0])
+                  for line in out.splitlines()
+                  if "train loss" in line]
+        assert len(losses) == 3
+        assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+        first_dir = os.path.join(save, "first_train")
+        model, params, cfg, step = load_checkpoint(first_dir)
+        assert cfg["model"] == "pic" and step == 3
+        assert "g_a_0" in params or "g_a" in params
+
+        # ---- stage 2: refine_gs resumed via --checkpoint ----
+        train_main(common + [
+            "--training_type", "refine_gs", "--epochs", "1",
+            "--steps_per_epoch", "2", "--checkpoint", first_dir,
+        ])
+        gs_dir = os.path.join(save, "refine_gs")
+        _, params_gs, cfg_gs, _ = load_checkpoint(gs_dir)
+        assert cfg_gs["model"] == "pic"
+        # frozen-by-stage subtrees must be bit-identical to the parent
+        np.testing.assert_array_equal(
+            np.asarray(params["g_a_0"]["Conv_0"]["kernel"]),
+            np.asarray(params_gs["g_a_0"]["Conv_0"]["kernel"]))
+
+        # ---- stage 4: rems with --model rem (PIC -> REM merge) ----
+        train_main(common + [
+            "--training_type", "rems", "--model", "rem", "--epochs", "1",
+            "--steps_per_epoch", "2", "--checkpoint", gs_dir,
+            "--check_levels", "0.75", "--dimension", "middle",
+        ])
+        out = capsys.readouterr().out
+        assert "initialized REM banks fresh" in out
+        rem_dir = os.path.join(save, "rems")
+        rem_model, rem_params, rem_cfg, _ = load_checkpoint(rem_dir)
+        assert rem_cfg["model"] == "rem"
+        assert any(k.startswith("post_latent") for k in rem_params)
+        # parent (non-REM) weights came through the merge untouched
+        np.testing.assert_array_equal(
+            np.asarray(params_gs["g_a_0"]["Conv_0"]["kernel"]),
+            np.asarray(rem_params["g_a_0"]["Conv_0"]["kernel"]))
+
+        with open(os.path.join(rem_dir, "config.json")) as f:
+            assert json.load(f)["config"]["check_levels"] == [0.75]
