@@ -1,0 +1,143 @@
+"""Evaluate a trained checkpoint: held-out RD curve, estimated-vs-real bpp
+gap, RD monotonicity — the round-2 credibility criteria (VERDICT.md task 1:
+top-quality bpp < 2 and PSNR > 28 on held-out crops, est-vs-real bpp gap
+< 5% under trained statistics, monotone RD across all levels).
+
+Held-out content = crops from the teaser photo's validation strip (the
+rightmost columns excluded from training by data/device_bank.py).
+
+Usage: python tools/eval_checkpoint.py CKPT_DIR [--out results.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+Q_LIST = [0.01, 0.05, 0.1, 0.25, 0.5, 0.6, 0.7, 0.8, 0.9, 1, 2, 3, 4,
+          4.5, 10]
+
+
+def heldout_crops(patch=256):
+    """256x256 crops strictly inside the validation strip (never seen in
+    training) + the full-height val strip as one 256-wide image."""
+    import numpy as np
+    from PIL import Image
+
+    from epic_tpu.data.device_bank import (TEASER_PATH, TEASER_REGIONS,
+                                           build_crop_bank,
+                                           load_teaser_images)
+
+    images, has_val = load_teaser_images()
+    cb = build_crop_bank(images, has_val, patch=patch)
+    crops = []
+    for k in range(cb.num_images):
+        if cb.val_x0[k] < 0:
+            continue
+        h, w = cb.hw[k]
+        x0 = int(cb.val_x0[k])
+        if w - x0 < patch:
+            continue
+        for oy in range(0, int(h) - patch + 1, patch):
+            crops.append(cb.bank[k, oy:oy + patch, x0:x0 + patch]
+                         .astype(np.float32) / 255.0)
+    return crops
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("ckpt")
+    p.add_argument("--which", default=None, help="best|last (auto)")
+    p.add_argument("--out", default=None)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jax_compile_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+    from epic_tpu.codec import PICCodec, progressive_encode, \
+        progressive_decode_all
+    from epic_tpu.models.pic import VarianceMaskingPIC
+    from epic_tpu.training import load_checkpoint
+
+    which = args.which or ("best" if os.path.exists(
+        os.path.join(args.ckpt, "best")) else "last")
+    model, params, cfg, step = load_checkpoint(
+        args.ckpt, which, config_overrides={
+            "compute_dtype": args.compute_dtype})
+    print(f"# ckpt {args.ckpt}/{which} step {step} model {cfg.get('model')} "
+          f"N={cfg.get('n')} M={cfg.get('m')}", flush=True)
+    params = jax.device_put(params, jax.devices()[0])
+    v = {"params": params}
+    codec = PICCodec(model, v)
+
+    crops = heldout_crops()
+    print(f"# {len(crops)} held-out 256x256 crops", flush=True)
+    x = jnp.asarray(np.stack(crops))
+    npix = x.shape[0] * x.shape[1] * x.shape[2]
+
+    # ---- real codec: one progressive encode, all levels decoded ----
+    bs, bits = progressive_encode(codec, x, Q_LIST)
+    out = progressive_decode_all(codec, bs)
+    x_hat = np.asarray(out["x_hat"])  # [1+Q, B, H, W, 3]
+    real_bpp = np.cumsum([bits[0] + bits[1]] + list(bits[2])) / npix
+    mse = ((x_hat - np.asarray(x)[None]) ** 2).mean(axis=(1, 2, 3, 4))
+    psnr = -10 * np.log10(np.maximum(mse, 1e-12))
+
+    # ---- entropy estimation at matching levels (base + each q) ----
+    @jax.jit
+    def est_bits(params, x, q):
+        o = model.apply({"params": params}, x, q, False,
+                        method=VarianceMaskingPIC.forward_single_quality)
+        lik = o["likelihoods"]
+        return sum(-jnp.log2(l).sum() for l in
+                   jax.tree.leaves(lik))
+
+    est_bpp = []
+    for q in [0.0] + list(Q_LIST):
+        est_bpp.append(float(est_bits(params, x, jnp.float32(q))) / npix)
+    est_bpp = np.asarray(est_bpp)
+
+    gap_pct = np.abs(real_bpp - est_bpp) / np.maximum(est_bpp, 1e-9) * 100
+
+    mono_psnr = bool(np.all(np.diff(psnr) >= -0.01))
+    mono_bpp = bool(np.all(np.diff(real_bpp) >= 0))
+
+    res = {
+        "checkpoint": f"{args.ckpt}/{which}@{step}",
+        "model": {k: cfg.get(k) for k in
+                  ("model", "n", "m", "division", "dim_chunk")},
+        "n_heldout_crops": len(crops),
+        "levels": [0.0] + list(Q_LIST),
+        "real_bpp": [round(float(b), 4) for b in real_bpp],
+        "est_bpp": [round(float(b), 4) for b in est_bpp],
+        "gap_pct": [round(float(g), 2) for g in gap_pct],
+        "max_gap_pct": round(float(gap_pct.max()), 2),
+        "psnr": [round(float(p_), 2) for p_ in psnr],
+        "monotone_psnr": mono_psnr,
+        "monotone_bpp": mono_bpp,
+        "criteria": {
+            "top_bpp_lt_2": bool(real_bpp[-1] < 2.0),
+            "psnr_gt_28": bool(psnr[-1] > 28.0),
+            "gap_lt_5pct": bool(gap_pct.max() < 5.0),
+            "monotone": mono_psnr and mono_bpp,
+        },
+    }
+    print(json.dumps(res, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
