@@ -113,6 +113,80 @@ class HyperSynthesis(nn.Module):
         return x.astype(jnp.float32)
 
 
+def paramnet_apply(kernels, biases, x, i, dtype=None):
+    """Pure per-slice application of a stacked ParamNet weight set.
+
+    kernels: tuple of [S,3,3,in,w] arrays; biases: tuple of [S,w]. ``i``
+    may be a static python int or a traced int32 (lax.scan index) — both
+    select the same weights, so encoder/decoder bit-identity holds across
+    call styles. Kept flax-free so slice chains can lax.scan over it
+    without lifted transforms."""
+    n_layers = len(kernels)
+    for layer in range(n_layers):
+        if isinstance(i, int):
+            k_i, b_i = kernels[layer][i], biases[layer][i]
+        else:
+            k_i = jnp.take(kernels[layer], i, axis=0)
+            b_i = jnp.take(biases[layer], i, axis=0)
+        if dtype is not None:
+            x = x.astype(dtype)
+            k_i = k_i.astype(dtype)
+            b_i = b_i.astype(dtype)
+        x = jax.lax.conv_general_dilated(
+            x, k_i, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_i
+        if layer < n_layers - 1:
+            x = jax.nn.gelu(x)
+    return x.astype(jnp.float32)
+
+
+class StackedParamNet(nn.Module):
+    """All S per-slice entropy-parameter heads of one kind, stored as ONE
+    stacked weight tree with a leading slice axis (kernels [S,3,3,in,w]).
+
+    The reference instantiates a separate 5-layer conv stack per slice with
+    a growing first-layer input width (pic.py:83-164). Stacking them (with
+    the ragged first-layer widths zero-padded to ``in_width``) lets the
+    slice chains run as ONE ``lax.scan`` body instead of S unrolled
+    programs — an order-of-magnitude first-compile/init saving — while
+    remaining exactly equivalent: callers feed fixed-width support tensors
+    whose unused channels are zero, and zero inputs contribute zero through
+    the conv regardless of the (also zero-padded) weight rows.
+    """
+
+    n_slices: int
+    in_width: int
+    out_dim: int = 32
+    widths: Sequence[int] = (224, 176, 128, 64)
+    dtype: object = None
+
+    def setup(self):
+        dims = ((self.in_width,) + tuple(self.widths) + (self.out_dim,))
+        # same gain-1.0 fan_in scaling as ops.conv.DEFAULT_INIT, with the
+        # leading slice axis excluded from the fan computation
+        init = nn.initializers.variance_scaling(
+            1.0, "fan_in", "normal", in_axis=-2, out_axis=-1,
+            batch_axis=(0,))
+        kernels, biases = [], []
+        for layer in range(len(dims) - 1):
+            kernels.append(self.param(
+                f"Conv_{layer}_kernel", init,
+                (self.n_slices, 3, 3, dims[layer], dims[layer + 1]),
+                jnp.float32))
+            biases.append(self.param(
+                f"Conv_{layer}_bias", nn.initializers.zeros,
+                (self.n_slices, dims[layer + 1]), jnp.float32))
+        self.kernels = tuple(kernels)
+        self.biases = tuple(biases)
+
+    def stacked(self):
+        """Raw stacked weights, for flax-free use inside lax.scan."""
+        return self.kernels, self.biases
+
+    def __call__(self, x, i):
+        return paramnet_apply(self.kernels, self.biases, x, i, self.dtype)
+
+
 class ParamNet(nn.Module):
     """Per-slice entropy-parameter head: 3x3 conv stack 224-176-128-64-32
     with GELU (reference: pic.py:83-164). Output is always float32 —

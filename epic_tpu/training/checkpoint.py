@@ -78,6 +78,52 @@ def merge_params(template, partial):
     return jtu.tree_unflatten(jtu.tree_structure(template), leaves)
 
 
+def save_artifact(directory: str, params, config: Dict[str, Any],
+                  step: int = 0, which: str = "last",
+                  dtype: str = "bfloat16") -> str:
+    """Compact committed-artifact format: `config.json` + `{which}.npz`
+    holding the flattened param tree cast to ``dtype`` (bf16 halves the
+    file; inference runs the transforms in bf16 anyway and enc/dec
+    bit-identity is per-checkpoint, not per-precision). Loadable by
+    load_checkpoint like an Orbax dir."""
+    import ml_dtypes  # ships with jax
+    import numpy as np
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump({"config": config, "step": step, "dtype": dtype}, f,
+                  indent=2)
+    np_dtype = ml_dtypes.bfloat16 if dtype == "bfloat16" else np.dtype(dtype)
+    flat = _flatten_tree(jax.device_get(params))
+    out = os.path.join(directory, which + ".npz")
+    np.savez_compressed(out, **{k: np.asarray(v).astype(np_dtype)
+                                for k, v in flat.items()})
+    return out
+
+
+def _flatten_tree(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten_tree(flat: Dict[str, Any]):
+    root: Dict[str, Any] = {}
+    for key, v in flat.items():
+        node = root
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return root
+
+
 def load_checkpoint(directory: str, which: str = "last",
                     config_overrides: Optional[Dict[str, Any]] = None):
     """Returns (model, params, config, step). The model is rebuilt from the
@@ -92,7 +138,21 @@ def load_checkpoint(directory: str, which: str = "last",
     name = config.pop("model", "pic")
     model = get_model(name, **{k: (tuple(v) if isinstance(v, list) else v)
                                for k, v in config.items()})
-    ckptr = ocp.StandardCheckpointer()
-    params = ckptr.restore(os.path.join(directory, which))
+    npz = os.path.join(directory, which + ".npz")
+    if os.path.isfile(npz):
+        import ml_dtypes
+        import numpy as np
+
+        def _restore(a):
+            # np.load surfaces bf16 as an opaque |V2 dtype — view it back
+            if a.dtype.kind == "V" and a.dtype.itemsize == 2:
+                a = a.view(ml_dtypes.bfloat16)
+            return jax.numpy.asarray(a, jax.numpy.float32)
+
+        with np.load(npz) as z:
+            params = _unflatten_tree({k: _restore(z[k]) for k in z.files})
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        params = ckptr.restore(os.path.join(directory, which))
     config["model"] = name
     return model, params, config, meta.get("step", 0)

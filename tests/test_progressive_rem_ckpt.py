@@ -109,6 +109,29 @@ class TestCheckpointIO:
         np.testing.assert_array_equal(np.asarray(o1["x_hat"]),
                                       np.asarray(o2["x_hat"]))
 
+    def test_artifact_npz_roundtrip(self, rem_codec, tmp_path):
+        """Compact committed-artifact format (config.json + npz): loads
+        through the same load_checkpoint entry; values equal up to the
+        bf16 storage cast."""
+        from epic_tpu.training import load_checkpoint
+        from epic_tpu.training.checkpoint import save_artifact
+
+        model, v, x, codec = rem_codec
+        cfg = dict(TINY_REM)
+        cfg["model"] = "rem"
+        d = str(tmp_path / "artifact")
+        out = save_artifact(d, v["params"], cfg, step=11)
+        assert out.endswith("last.npz")
+        model2, params2, cfg2, step = load_checkpoint(d)
+        assert step == 11 and cfg2["model"] == "rem"
+        a, b = jax.tree.leaves(v["params"]), jax.tree.leaves(params2)
+        assert len(a) == len(b)
+        for pa, pb in zip(a, b):
+            assert pb.dtype == jnp.float32
+            np.testing.assert_array_equal(
+                np.asarray(pa).astype(jnp.bfloat16).astype(np.float32),
+                np.asarray(pb))
+
     def test_config_overrides(self, rem_codec, tmp_path):
         from epic_tpu.training import load_checkpoint, save_checkpoint
 
