@@ -63,7 +63,7 @@ def main(argv=None):
                          "rem_dimension": args.dimension}
         model, params, cfg, start_step = load_checkpoint(
             args.checkpoint, config_overrides=overrides)
-        if args.model == "rem" and "post_latent_0_0" not in params:
+        if args.model == "rem" and "post_latent_0" not in params:
             # PIC -> REM stage transition: fresh-init the REM banks, merge
             # the trained parent weights in (rem_pic.py:66-78 analog)
             from ..training import merge_params

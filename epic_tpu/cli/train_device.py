@@ -198,7 +198,7 @@ def main(argv=None):
                 n_params = sum(x.size for x in jax.tree.leaves(params))
                 print(f"[{stage_name}] fresh init: {n_params/1e6:.1f}M "
                       "params", flush=True)
-            elif is_rem and "post_latent_0_0" not in params:
+            elif is_rem and "post_latent_0" not in params:
                 rng, init_rng, noise_rng = jax.random.split(rng, 3)
                 dummy = jnp.zeros((1, 64, 64, 3))
                 fresh = model.init(

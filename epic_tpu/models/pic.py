@@ -40,8 +40,9 @@ from .builder import (
     AnalysisTransform,
     HyperAnalysis,
     HyperSynthesis,
-    ParamNet,
+    StackedParamNet,
     SynthesisTransform,
+    paramnet_apply,
 )
 
 
@@ -70,6 +71,12 @@ class VarianceMaskingPIC(nn.Module):
     # likelihoods always stay float32; enc/dec bit-identity is preserved
     # either way because both sides run the same compiled programs.
     compute_dtype: str = "float32"
+    # express the slice chains as lax.scan over the stacked ParamNet
+    # weights (one compiled body instead of ns0/nprog unrolled ones —
+    # first-compile and init drop by ~an order of magnitude). False keeps
+    # the unrolled chains (same stacked params, per-slice static indexing),
+    # useful for A/B and for debugging.
+    scan_chains: bool = True
 
     # ---- derived sizes ----
     @property
@@ -83,6 +90,30 @@ class VarianceMaskingPIC(nn.Module):
     @property
     def ns1(self) -> int:
         return self.division[1] // self.dim_chunk
+
+    @property
+    def _n_slots_base(self) -> int:
+        """Fixed support-slot count of the base chain (slices beyond slot
+        j's fill order see zeros there, matching the ragged reference)."""
+        if self.max_support_slices < 0:
+            return max(self.ns0 - 1, 0)
+        return min(self.max_support_slices, max(self.ns0 - 1, 0))
+
+    @property
+    def _n_slots_prog(self) -> int:
+        nprog = self.ns1 - self.ns0
+        if self.support_progressive_slices <= 0:
+            return 0
+        return min(self.support_progressive_slices, max(nprog - 1, 0))
+
+    @property
+    def _in_base(self) -> int:
+        return self.division[0] + self._n_slots_base * self.dim_chunk
+
+    @property
+    def _in_prog(self) -> int:
+        dp = self.division[1] - self.division[0]
+        return dp + self.dim_chunk + self._n_slots_prog * self.dim_chunk
 
     def setup(self):
         d0 = self.division[0]
@@ -115,22 +146,20 @@ class VarianceMaskingPIC(nn.Module):
         ns0 = self.ns0
         nprog = self.ns1 - self.ns0
         pw = tuple(self.param_net_widths)
-        self.cc_mean = [ParamNet(self.dim_chunk, pw, dt, name=f"cc_mean_{i}")
-                        for i in range(ns0)]
-        self.cc_scale = [
-            ParamNet(self.dim_chunk, pw, dt, name=f"cc_scale_{i}")
-            for i in range(ns0)]
-        self.lrp = [ParamNet(self.dim_chunk, pw, dt, name=f"lrp_{i}")
-                    for i in range(ns0)]
-        self.cc_mean_prog = [
-            ParamNet(self.dim_chunk, pw, dt, name=f"cc_mean_prog_{i}")
-            for i in range(nprog)]
-        self.cc_scale_prog = [
-            ParamNet(self.dim_chunk, pw, dt, name=f"cc_scale_prog_{i}")
-            for i in range(nprog)]
-        self.lrp_prog = [
-            ParamNet(self.dim_chunk, pw, dt, name=f"lrp_prog_{i}")
-            for i in range(ns0)]
+        c = self.dim_chunk
+        in_b, in_p = self._in_base, self._in_prog
+        self.cc_mean = StackedParamNet(ns0, in_b, c, pw, dt,
+                                       name="cc_mean")
+        self.cc_scale = StackedParamNet(ns0, in_b, c, pw, dt,
+                                        name="cc_scale")
+        self.lrp = StackedParamNet(ns0, in_b + c, c, pw, dt, name="lrp")
+        if nprog > 0:
+            self.cc_mean_prog = StackedParamNet(nprog, in_p, c, pw, dt,
+                                                name="cc_mean_prog")
+            self.cc_scale_prog = StackedParamNet(nprog, in_p, c, pw, dt,
+                                                 name="cc_scale_prog")
+            self.lrp_prog = StackedParamNet(ns0, in_p + c, c, pw, dt,
+                                            name="lrp_prog")
         self.entropy_bottleneck = EntropyBottleneck(self.n,
                                                     name="entropy_bottleneck")
 
@@ -178,30 +207,39 @@ class VarianceMaskingPIC(nn.Module):
         c = self.dim_chunk
         return y[..., i * c:(i + 1) * c]
 
+    def _zeros_like_support(self, ref, n_chunks: int):
+        return jnp.zeros(ref.shape[:-1] + (n_chunks * self.dim_chunk,),
+                         ref.dtype)
+
     def base_slice_params(self, latent_means, latent_scales,
                           support: List[jnp.ndarray], i: int):
         """Entropy params for base slice i given decoded support slices.
 
         latent_means/scales: base 320-ch hyper outputs. support: previous
         y_hat slices [:min(5, i)]. Returns (mu, scale, mean_support).
-        Reference: pic.py:330-347.
+        The support block is padded with zero chunks to the fixed stacked
+        width `_in_base` (zero inputs x zero-padded weight rows == the
+        reference's ragged per-slice nets, pic.py:330-347).
         """
         # max_support_slices < 0 = use ALL decoded slices (reference:
         # pic.py:333-336)
         k = len(support) if self.max_support_slices < 0 else \
             min(self.max_support_slices, i)
-        sup = support[:k]
-        mean_support = jnp.concatenate([latent_means] + list(sup), axis=-1)
-        scale_support = jnp.concatenate([latent_scales] + list(sup), axis=-1)
-        mu = self.cc_mean[i](mean_support)
-        scale = self.cc_scale[i](scale_support)
+        sup = list(support[:k])
+        if k < self._n_slots_base:
+            sup.append(self._zeros_like_support(latent_means,
+                                                self._n_slots_base - k))
+        mean_support = jnp.concatenate([latent_means] + sup, axis=-1)
+        scale_support = jnp.concatenate([latent_scales] + sup, axis=-1)
+        mu = self.cc_mean(mean_support, i)
+        scale = self.cc_scale(scale_support, i)
         return mu, scale, mean_support
 
     def finish_base_slice(self, y_hat_raw, mean_support, i: int):
         """Apply the latent-residual-prediction refinement
         (reference: pic.py:358-361). y_hat_raw = dequantized slice."""
         lrp_in = jnp.concatenate([mean_support, y_hat_raw], axis=-1)
-        return y_hat_raw + 0.5 * jnp.tanh(self.lrp[i](lrp_in))
+        return y_hat_raw + 0.5 * jnp.tanh(self.lrp(lrp_in, i))
 
     def prog_slice_params(self, latent_means, latent_scales, y_hat_base_i,
                           mu_support: List[jnp.ndarray],
@@ -210,27 +248,32 @@ class VarianceMaskingPIC(nn.Module):
 
         latent_means/scales: enhancement 320-ch hyper outputs. Support =
         [base y_hat_i] + up to 5 previous mu_total / std_total tensors
-        (all_scalable) or previous decoded prog slices.
+        (all_scalable) or previous decoded prog slices; the slot block is
+        front-padded with zero chunks to the fixed width (newest entries
+        at the end — the shift-register layout the scan chain uses).
         Returns (mu, mu_total_entry, scale, mean_support).
         Reference: pic.py:396-427 and test/utils.py:35-55.
         """
-        k = min(self.support_progressive_slices, i)
-        sup_mu = [y_hat_base_i] + list(mu_support[len(mu_support) - k:]) \
-            if self.support_progressive_slices > 0 and i > 0 else [y_hat_base_i]
-        sup_std = [y_hat_base_i] + list(std_support[len(std_support) - k:]) \
-            if self.support_progressive_slices > 0 and i > 0 else [y_hat_base_i]
-        mean_support = jnp.concatenate([latent_means] + sup_mu, axis=-1)
-        scale_support = jnp.concatenate([latent_scales] + sup_std, axis=-1)
-        mu = self.cc_mean_prog[i](mean_support)
+        k = min(self.support_progressive_slices, i) \
+            if self.support_progressive_slices > 0 else 0
+        front = [] if k >= self._n_slots_prog else \
+            [self._zeros_like_support(latent_means, self._n_slots_prog - k)]
+        tail_mu = list(mu_support[len(mu_support) - k:]) if k > 0 else []
+        tail_std = list(std_support[len(std_support) - k:]) if k > 0 else []
+        mean_support = jnp.concatenate(
+            [latent_means, y_hat_base_i] + front + tail_mu, axis=-1)
+        scale_support = jnp.concatenate(
+            [latent_scales, y_hat_base_i] + front + tail_std, axis=-1)
+        mu = self.cc_mean_prog(mean_support, i)
         mut = mu + y_hat_base_i if self.total_mu_rep else mu
-        scale = self.cc_scale_prog[i](scale_support)
+        scale = self.cc_scale_prog(scale_support, i)
         return mu, mut, scale, mean_support
 
     def finish_prog_slice(self, y_hat_raw, mean_support, y_hat_base_i,
                           i: int):
         """LRP + merge with the base slice (reference: pic.py:446-451)."""
         lrp_in = jnp.concatenate([mean_support, y_hat_raw], axis=-1)
-        y_hat = y_hat_raw + 0.5 * jnp.tanh(self.lrp_prog[i](lrp_in))
+        y_hat = y_hat_raw + 0.5 * jnp.tanh(self.lrp_prog(lrp_in, i))
         return y_hat + y_hat_base_i
 
     def synthesize_base(self, y_hat_base):
@@ -245,12 +288,23 @@ class VarianceMaskingPIC(nn.Module):
     # shared chains
     # ------------------------------------------------------------------
 
+    def _blocked(self, y, first: int, last: int):
+        """Channel slices [first,last) as a stacked [S,B,h,w,c] array."""
+        c = self.dim_chunk
+        b, h, w = y.shape[0], y.shape[1], y.shape[2]
+        blk = y[..., first * c:last * c].reshape(b, h, w, last - first, c)
+        return jnp.moveaxis(blk, 3, 0)
+
     def _base_chain(self, y, latent_means, latent_scales,
                     training: bool, rng=None):
         """All 10 base slices (sequential by construction). Returns
-        (y_hat_slices, likelihoods, mus, scales, mean_supports)."""
+        (y_hat_slices, likelihoods, mus, scales, mean_supports) — each a
+        stacked [S,...] array (indexing/concatenating matches the former
+        per-slice lists)."""
         lm = latent_means[..., :self.division[0]]
         ls = latent_scales[..., :self.division[0]]
+        if self.scan_chains:
+            return self._base_chain_scan(y, lm, ls, training, rng)
         y_hat_slices, liks, mus, scales, msups = [], [], [], [], []
         for i in range(self.ns0):
             y_i = self._slice(y, i)
@@ -269,15 +323,67 @@ class VarianceMaskingPIC(nn.Module):
             mus.append(mu)
             scales.append(scale)
             msups.append(msup)
-        return y_hat_slices, liks, mus, scales, msups, rng
+        return (jnp.stack(y_hat_slices), jnp.stack(liks), jnp.stack(mus),
+                jnp.stack(scales), jnp.stack(msups), rng)
+
+    def _base_chain_scan(self, y, lm, ls, training: bool, rng=None):
+        """One lax.scan body for the whole base chain. The support buffer
+        holds the FIRST `_n_slots_base` decoded slices (slot j = slice j,
+        reference pic.py:333-336 takes support[:max_support]); unfilled
+        slots stay zero, which the zero-padded stacked weights make exactly
+        equivalent to the reference's ragged per-slice nets."""
+        ns0, n, c = self.ns0, self._n_slots_base, self.dim_chunk
+        dt = None if self.compute_dtype == "float32" else \
+            jnp.dtype(self.compute_dtype)
+        ck, cb = self.cc_mean.stacked()
+        sk, sb = self.cc_scale.stacked()
+        lk, lb = self.lrp.stacked()
+        y_s = self._blocked(y, 0, ns0)
+        if training:
+            rng, sub = jax.random.split(rng)
+            keys = jax.random.split(sub, ns0)
+        else:
+            keys = jnp.zeros((ns0,), jnp.uint32)  # unused placeholder
+        buf0 = jnp.zeros((max(n, 1),) + y_s.shape[1:], jnp.float32)
+
+        def body(buf, xs):
+            i, y_i, key = xs
+            sup = jnp.moveaxis(buf[:n], 0, 3).reshape(
+                y_i.shape[:-1] + (n * c,))
+            mean_support = jnp.concatenate([lm, sup], axis=-1)
+            scale_support = jnp.concatenate([ls, sup], axis=-1)
+            mu = paramnet_apply(ck, cb, mean_support, i, dt)
+            scale = paramnet_apply(sk, sb, scale_support, i, dt)
+            if training:
+                noisy = y_i + jax.random.uniform(
+                    key, y_i.shape, y_i.dtype, -0.5, 0.5)
+            else:
+                noisy = ste_round(y_i - mu) + mu
+            lik = gaussian_likelihood(noisy, scale, mu, self.scale_bound)
+            y_hat = ste_round(y_i - mu) + mu
+            lrp_in = jnp.concatenate([mean_support, y_hat], axis=-1)
+            y_hat = y_hat + 0.5 * jnp.tanh(
+                paramnet_apply(lk, lb, lrp_in, i, dt))
+            if n > 0:
+                upd = jax.lax.dynamic_update_index_in_dim(
+                    buf, y_hat, jnp.minimum(i, n - 1), 0)
+                buf = jnp.where(i < n, upd, buf)
+            return buf, (y_hat, lik, mu, scale, mean_support)
+
+        idx = jnp.arange(ns0, dtype=jnp.int32)
+        _, (y_hat_s, liks, mus, scales, msups) = jax.lax.scan(
+            body, buf0, (idx, y_s, keys))
+        return y_hat_s, liks, mus, scales, msups, rng
 
     def _prog_param_chain(self, y_hat_base_slices, latent_means,
                           latent_scales):
         """Quality-independent progressive entropy-parameter chain
         (all_scalable=True, the paper's configuration). Returns
-        (mus, muts, scales, mean_supports)."""
+        (mus, muts, scales, mean_supports) as stacked [S,...] arrays."""
         lm = latent_means[..., self.division[0]:]
         ls = latent_scales[..., self.division[0]:]
+        if self.scan_chains:
+            return self._prog_param_chain_scan(y_hat_base_slices, lm, ls)
         mus, muts, scales, msups = [], [], [], []
         for i in range(self.ns1 - self.ns0):
             mu, mut, scale, msup = self.prog_slice_params(
@@ -286,6 +392,48 @@ class VarianceMaskingPIC(nn.Module):
             muts.append(mut)
             scales.append(scale)
             msups.append(msup)
+        return (jnp.stack(mus), jnp.stack(muts), jnp.stack(scales),
+                jnp.stack(msups))
+
+    def _prog_param_chain_scan(self, y_hat_base_slices, lm, ls):
+        """Shift-register lax.scan over the progressive slices: the
+        carry holds the last `_n_slots_prog` (mu_total, scale) tensors,
+        newest at the end — exactly the front-zero-padded layout
+        prog_slice_params builds for the ragged reference supports."""
+        nprog = self.ns1 - self.ns0
+        n, c = self._n_slots_prog, self.dim_chunk
+        dt = None if self.compute_dtype == "float32" else \
+            jnp.dtype(self.compute_dtype)
+        ck, cb = self.cc_mean_prog.stacked()
+        sk, sb = self.cc_scale_prog.stacked()
+        base_s = (y_hat_base_slices if isinstance(y_hat_base_slices,
+                                                  jnp.ndarray)
+                  else jnp.stack(list(y_hat_base_slices)))[:nprog]
+        shp = base_s.shape[1:]
+        buf0 = (jnp.zeros((max(n, 1),) + shp, jnp.float32),
+                jnp.zeros((max(n, 1),) + shp, jnp.float32))
+
+        def body(carry, xs):
+            mut_buf, std_buf = carry
+            i, base_i = xs
+            sup_mu = jnp.moveaxis(mut_buf[:n], 0, 3).reshape(
+                base_i.shape[:-1] + (n * c,))
+            sup_std = jnp.moveaxis(std_buf[:n], 0, 3).reshape(
+                base_i.shape[:-1] + (n * c,))
+            mean_support = jnp.concatenate([lm, base_i, sup_mu], axis=-1)
+            scale_support = jnp.concatenate([ls, base_i, sup_std], axis=-1)
+            mu = paramnet_apply(ck, cb, mean_support, i, dt)
+            mut = mu + base_i if self.total_mu_rep else mu
+            scale = paramnet_apply(sk, sb, scale_support, i, dt)
+            if n > 0:
+                mut_buf = jnp.concatenate([mut_buf[1:], mut[None]], axis=0)
+                std_buf = jnp.concatenate([std_buf[1:], scale[None]],
+                                          axis=0)
+            return (mut_buf, std_buf), (mu, mut, scale, mean_support)
+
+        idx = jnp.arange(nprog, dtype=jnp.int32)
+        _, (mus, muts, scales, msups) = jax.lax.scan(
+            body, buf0, (idx, base_s))
         return mus, muts, scales, msups
 
     def _prog_slices_non_scalable(self, y, quality, y_hat_base_slices,
@@ -409,39 +557,87 @@ class VarianceMaskingPIC(nn.Module):
 
         L = len(prog_qs)
         b = x.shape[0]
-        y_hat_prog_slices = []  # each [L,B,h,w,32]
-        prog_liks = []
-        for i in range(self.ns1 - self.ns0):
-            r_i = self._slice(y, self.ns0 + i)
-            if self.delta_encode:
-                r_i = r_i - self._slice(y, i)
-            mu, scale = mus[i], scales[i]
-            # [L,B,h,w,32] masks for every requested quality
-            mask = jnp.stack(
-                [apply_noise_mask(
-                    variance_mask(scale, q, mask_policy), False)
-                 for q in prog_qs])
-            centered = (r_i - mu)[None] * mask
+        nprog = self.ns1 - self.ns0
+        r_s = self._blocked(y, self.ns0, self.ns1)
+        if self.delta_encode:
+            r_s = r_s - self._blocked(y, 0, nprog)
+        if self.scan_chains:
+            dt = None if self.compute_dtype == "float32" else \
+                jnp.dtype(self.compute_dtype)
+            lk, lb = self.lrp_prog.stacked()
             if training:
                 rng, sub = jax.random.split(rng)
-                noisy = centered + jax.random.uniform(
-                    sub, centered.shape, centered.dtype, -0.5, 0.5)
+                keys = jax.random.split(sub, nprog)
             else:
-                noisy = ste_round(centered)
-            prog_liks.append(gaussian_likelihood(
-                noisy, scale[None] * mask, None, self.scale_bound))
-            y_hat_i = ste_round(r_i[None] - mu[None]) * mask + mu[None]
-            # fold qualities into batch for LRP + merge
-            flat = y_hat_i.reshape((L * b,) + y_hat_i.shape[2:])
-            msup_rep = jnp.broadcast_to(
-                msups[i][None], (L,) + msups[i].shape
-            ).reshape((L * b,) + msups[i].shape[1:])
-            base_rep = jnp.broadcast_to(
-                y_hat_slices[i][None], (L,) + y_hat_slices[i].shape
-            ).reshape((L * b,) + y_hat_slices[i].shape[1:])
-            flat = self.finish_prog_slice(flat, msup_rep, base_rep, i)
-            y_hat_prog_slices.append(
-                flat.reshape((L, b) + flat.shape[1:]))
+                keys = jnp.zeros((nprog,), jnp.uint32)
+
+            def body(_, xs):
+                i, r_i, mu, scale, msup, base_i, key = xs
+                mask = jnp.stack(
+                    [apply_noise_mask(
+                        variance_mask(scale, q, mask_policy), False)
+                     for q in prog_qs])
+                centered = (r_i - mu)[None] * mask
+                if training:
+                    noisy = centered + jax.random.uniform(
+                        key, centered.shape, centered.dtype, -0.5, 0.5)
+                else:
+                    noisy = ste_round(centered)
+                lik = gaussian_likelihood(
+                    noisy, scale[None] * mask, None, self.scale_bound)
+                y_hat_i = ste_round(r_i[None] - mu[None]) * mask + mu[None]
+                flat = y_hat_i.reshape((L * b,) + y_hat_i.shape[2:])
+                msup_rep = jnp.broadcast_to(
+                    msup[None], (L,) + msup.shape
+                ).reshape((L * b,) + msup.shape[1:])
+                base_rep = jnp.broadcast_to(
+                    base_i[None], (L,) + base_i.shape
+                ).reshape((L * b,) + base_i.shape[1:])
+                lrp_in = jnp.concatenate([msup_rep, flat], axis=-1)
+                flat = flat + 0.5 * jnp.tanh(
+                    paramnet_apply(lk, lb, lrp_in, i, dt))
+                flat = flat + base_rep
+                return _, (flat.reshape((L, b) + flat.shape[1:]), lik)
+
+            idx = jnp.arange(nprog, dtype=jnp.int32)
+            _, (y_hat_sl, lik_sl) = jax.lax.scan(
+                body, 0, (idx, r_s, mus, scales, msups,
+                          y_hat_slices[:nprog], keys))
+            # [S,L,B,h,w,c] -> channel-concat the slices: [L,B,h,w,S*c]
+            y_hat_prog_slices = list(y_hat_sl)
+            prog_liks = list(lik_sl)
+        else:
+            y_hat_prog_slices = []  # each [L,B,h,w,32]
+            prog_liks = []
+            for i in range(nprog):
+                r_i = r_s[i]
+                mu, scale = mus[i], scales[i]
+                # [L,B,h,w,32] masks for every requested quality
+                mask = jnp.stack(
+                    [apply_noise_mask(
+                        variance_mask(scale, q, mask_policy), False)
+                     for q in prog_qs])
+                centered = (r_i - mu)[None] * mask
+                if training:
+                    rng, sub = jax.random.split(rng)
+                    noisy = centered + jax.random.uniform(
+                        sub, centered.shape, centered.dtype, -0.5, 0.5)
+                else:
+                    noisy = ste_round(centered)
+                prog_liks.append(gaussian_likelihood(
+                    noisy, scale[None] * mask, None, self.scale_bound))
+                y_hat_i = ste_round(r_i[None] - mu[None]) * mask + mu[None]
+                # fold qualities into batch for LRP + merge
+                flat = y_hat_i.reshape((L * b,) + y_hat_i.shape[2:])
+                msup_rep = jnp.broadcast_to(
+                    msups[i][None], (L,) + msups[i].shape
+                ).reshape((L * b,) + msups[i].shape[1:])
+                base_rep = jnp.broadcast_to(
+                    y_hat_slices[i][None], (L,) + y_hat_slices[i].shape
+                ).reshape((L * b,) + y_hat_slices[i].shape[1:])
+                flat = self.finish_prog_slice(flat, msup_rep, base_rep, i)
+                y_hat_prog_slices.append(
+                    flat.reshape((L, b) + flat.shape[1:]))
 
         y_hat_prog = jnp.concatenate(y_hat_prog_slices, axis=-1)  # [L,B,h,w,320]
         x_hat_prog = self.synthesize_prog(
@@ -473,6 +669,14 @@ class VarianceMaskingPIC(nn.Module):
         values (reference: rem_pic.py:560-581)."""
         del i, quality, checkpoint_ref, mu_base_i, std_base_i
         return mu, scale
+
+    def _refine_prog_params_all(self, quality, mus, scales,
+                                checkpoint_ref, mus_b, scales_b):
+        """Stacked-slice REM hook (identity here): refines every slice's
+        (mu, scale) at once. Hoistable out of the chain because the
+        all_scalable support consumes the UNREFINED params."""
+        del quality, checkpoint_ref, mus_b, scales_b
+        return mus, scales
 
     def forward_single_quality(self, x, quality, training: bool = False,
                                mask_policy: Optional[str] = None,
@@ -531,31 +735,74 @@ class VarianceMaskingPIC(nn.Module):
         mus, muts, scales, msups = self._prog_param_chain(
             y_hat_slices, latent_means, latent_scales)
 
-        prog_slices, prog_liks, mu_list, std_list = [], [], [], []
-        for i in range(self.ns1 - self.ns0):
-            r_i = self._slice(y, self.ns0 + i)
-            if self.delta_encode:
-                r_i = r_i - self._slice(y, i)
-            mu, scale = self._refine_prog_params(
-                i, quality, mus[i], scales[i], checkpoint_ref,
-                mus_b[i], scales_b[i])
-            mask = apply_noise_mask(
-                variance_mask(scale, quality, mask_policy), False)
-            centered = (r_i - mu) * mask
+        nprog = self.ns1 - self.ns0
+        r_s = self._blocked(y, self.ns0, self.ns1)
+        if self.delta_encode:
+            r_s = r_s - self._blocked(y, 0, nprog)
+
+        # REM refinement (identity in the base class) hoists out of the
+        # chain: the all_scalable support uses the UNREFINED params
+        # (rem_pic.py:560-581), so all slices refine in one stacked call.
+        mus_f, scales_f = self._refine_prog_params_all(
+            quality, mus, scales, checkpoint_ref, mus_b, scales_b)
+
+        if self.scan_chains:
+            dt = None if self.compute_dtype == "float32" else \
+                jnp.dtype(self.compute_dtype)
+            lk, lb = self.lrp_prog.stacked()
             if training:
                 rng, sub = jax.random.split(rng)
-                noisy = centered + jax.random.uniform(
-                    sub, centered.shape, centered.dtype, -0.5, 0.5)
+                keys = jax.random.split(sub, nprog)
             else:
-                noisy = ste_round(centered)
-            prog_liks.append(gaussian_likelihood(
-                noisy, scale * mask, None, self.scale_bound))
-            y_hat_i = ste_round(r_i - mu) * mask + mu
-            y_hat_i = self.finish_prog_slice(y_hat_i, msups[i],
-                                             y_hat_slices[i], i)
-            prog_slices.append(y_hat_i)
-            mu_list.append(mu)
-            std_list.append(scale)
+                keys = jnp.zeros((nprog,), jnp.uint32)
+
+            def body(_, xs):
+                i, r_i, mu, scale, msup, base_i, key = xs
+                mask = apply_noise_mask(
+                    variance_mask(scale, quality, mask_policy), False)
+                centered = (r_i - mu) * mask
+                if training:
+                    noisy = centered + jax.random.uniform(
+                        key, centered.shape, centered.dtype, -0.5, 0.5)
+                else:
+                    noisy = ste_round(centered)
+                lik = gaussian_likelihood(
+                    noisy, scale * mask, None, self.scale_bound)
+                y_hat_i = ste_round(r_i - mu) * mask + mu
+                lrp_in = jnp.concatenate([msup, y_hat_i], axis=-1)
+                y_hat_i = y_hat_i + 0.5 * jnp.tanh(
+                    paramnet_apply(lk, lb, lrp_in, i, dt)) + base_i
+                return _, (y_hat_i, lik)
+
+            idx = jnp.arange(nprog, dtype=jnp.int32)
+            _, (y_hat_sl, lik_sl) = jax.lax.scan(
+                body, 0, (idx, r_s, mus_f, scales_f, msups,
+                          y_hat_slices[:nprog], keys))
+            prog_slices = list(y_hat_sl)
+            prog_liks = list(lik_sl)
+            mu_list, std_list = list(mus_f), list(scales_f)
+        else:
+            prog_slices, prog_liks, mu_list, std_list = [], [], [], []
+            for i in range(nprog):
+                r_i = r_s[i]
+                mu, scale = mus_f[i], scales_f[i]
+                mask = apply_noise_mask(
+                    variance_mask(scale, quality, mask_policy), False)
+                centered = (r_i - mu) * mask
+                if training:
+                    rng, sub = jax.random.split(rng)
+                    noisy = centered + jax.random.uniform(
+                        sub, centered.shape, centered.dtype, -0.5, 0.5)
+                else:
+                    noisy = ste_round(centered)
+                prog_liks.append(gaussian_likelihood(
+                    noisy, scale * mask, None, self.scale_bound))
+                y_hat_i = ste_round(r_i - mu) * mask + mu
+                y_hat_i = self.finish_prog_slice(y_hat_i, msups[i],
+                                                 y_hat_slices[i], i)
+                prog_slices.append(y_hat_i)
+                mu_list.append(mu)
+                std_list.append(scale)
 
         y_hat_p = jnp.concatenate(prog_slices, axis=-1)
         x_hat = jnp.clip(self.synthesize_prog(y_hat_p), 0.0, 1.0)

@@ -7,8 +7,17 @@ checkpoint-quality latent; one REM bank per quality bracket between the
 parameters (rem_pic.py:560-561 appends before enhancement); only the
 per-slice masking/coding uses the refined ones.
 
-The bracket selection is static for python-float qualities (the codec path)
-and a lax.switch for traced qualities (sampling training).
+TPU-native restructuring: each bank's per-slice LatentRateReduction
+modules are stored STACKED (nn.vmap over the slice axis, params get a
+leading [S] dim), so a whole bank refines all slices in ONE vmapped
+program — and because the all_scalable support chain uses the unrefined
+params, the refinement hoists cleanly out of the slice chain
+(_refine_prog_params_all). Per-slice access (the interleaved non-scalable
+codec and the chained single-bitstream path) slices the stacked weights
+and applies the plain module functionally — the same weights either way.
+
+The bracket selection is static for python-float qualities (the codec
+path) and a lax.switch for traced qualities (sampling training).
 """
 
 from __future__ import annotations
@@ -17,8 +26,11 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 
 from ..ops import LatentRateReduction, apply_noise_mask, variance_mask
+from ..ops.masking import prog_mask
+from ..ops.rem import lrr_apply
 from .pic import VarianceMaskingPIC
 
 
@@ -33,11 +45,14 @@ class VarianceMaskingPICREM(VarianceMaskingPIC):
 
     def setup(self):
         super().setup()
+        stacked = nn.vmap(
+            LatentRateReduction,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=0, out_axes=0)
         self.post_latent = [
-            [LatentRateReduction(self.dim_chunk, self.mu_std,
-                                 self.rem_dimension,
-                                 name=f"post_latent_{r}_{i}")
-             for i in range(self.ns0)]
+            stacked(self.dim_chunk, self.mu_std, self.rem_dimension,
+                    name=f"post_latent_{r}")
             for r in range(self.num_rems)
         ]
 
@@ -65,13 +80,26 @@ class VarianceMaskingPICREM(VarianceMaskingPIC):
                 return j
         return len(c) - 1
 
+    def _bank_slice_apply(self, bank: int, i, x_base, params_base,
+                          params_prog, att_mask):
+        """Apply ONE slice of a stacked bank: slice the [S,...]-stacked
+        weights at i (static int or traced int32) and run the plain
+        LatentRateReduction functionally. Used by the per-slice codec
+        paths; identical weights to the vmapped whole-bank call."""
+        stacked = self.post_latent[bank].variables["params"]
+        if isinstance(i, int):
+            sub = jax.tree.map(lambda a: a[i], stacked)
+        else:
+            sub = jax.tree.map(lambda a: jnp.take(a, i, axis=0), stacked)
+        return lrr_apply(sub, x_base, params_base, params_prog, att_mask)
+
     def apply_latent_enhancement(self, current_index: int, quality,
                                  y_b_hat, params_base, params_prog,
                                  mu, scale, attention_mask=None,
                                  training: bool = False):
-        """Run the right REM (reference: rem_pic.py:167-220). quality must
-        be a static python float here; traced qualities go through
-        _refine_prog_params."""
+        """Run the right REM on one slice (reference: rem_pic.py:167-220).
+        quality must be a static python float here; traced qualities go
+        through _refine_prog_params."""
         if attention_mask is None:
             attention_mask = apply_noise_mask(
                 variance_mask(scale, quality, self.mask_policy), training)
@@ -81,8 +109,9 @@ class VarianceMaskingPICREM(VarianceMaskingPIC):
         if quality <= self.check_levels[0]:
             return mu, scale
         bank = self._rem_bank_index(quality)
-        out = self.post_latent[bank][current_index](
-            y_b_hat, params_base, params_prog, attention_mask)
+        out = self._bank_slice_apply(bank, current_index, y_b_hat,
+                                     params_base, params_prog,
+                                     attention_mask)
         if self.mu_std:
             mu, scale = jnp.split(out, 2, axis=-1)
             return mu, scale
@@ -112,8 +141,8 @@ class VarianceMaskingPICREM(VarianceMaskingPIC):
 
         def make_branch(j):
             def branch(_):
-                return self.post_latent[j][i](
-                    y_b_hat, params_base, params_prog, att)
+                return self._bank_slice_apply(j, i, y_b_hat, params_base,
+                                              params_prog, att)
             return branch
 
         out = jax.lax.switch(bank, [make_branch(j)
@@ -125,6 +154,53 @@ class VarianceMaskingPICREM(VarianceMaskingPIC):
         # below the first checkpoint the REMs do not apply
         skip = quality <= self.check_levels[0]
         return (jnp.where(skip, mu, mu_r), jnp.where(skip, scale, scale_r))
+
+    def _refine_prog_params_all(self, quality, mus, scales,
+                                checkpoint_ref, mus_b, scales_b):
+        """Refine ALL progressive slices in one vmapped bank call.
+
+        mus/scales: stacked [S,B,h,w,c] unrefined chain outputs;
+        mus_b/scales_b: stacked base-slice params. Valid because the
+        all_scalable support chain consumes the UNREFINED params
+        (rem_pic.py:560-581) — the refinement has no sequential
+        dependency and hoists out of the chain."""
+        if checkpoint_ref is None:
+            return mus, scales
+        nprog = self.ns1 - self.ns0
+        ckpt_s = self._blocked(checkpoint_ref, 0, nprog)
+        params_base = jnp.concatenate([mus_b[:nprog], scales_b[:nprog]],
+                                      axis=-1)
+        params_prog = (jnp.concatenate([mus, scales], axis=-1)
+                       if self.mu_std else scales)
+        att = apply_noise_mask(
+            prog_mask(scales, quality, self.mask_policy), False)
+        if self.mu_std:
+            att = jnp.concatenate([att, att], axis=-1)
+
+        static_q = isinstance(quality, (int, float))
+        if static_q and quality <= self.check_levels[0]:
+            return mus, scales
+        if static_q:
+            bank = self._rem_bank_index(float(quality))
+            out = self.post_latent[bank](ckpt_s, params_base, params_prog,
+                                         att)
+        else:
+            c = jnp.asarray(list(self.check_levels), jnp.float32)
+            bank = jnp.clip(jnp.sum(quality > c) - 1, 0, self.num_rems - 1)
+            out = jax.lax.switch(
+                bank,
+                [(lambda j: lambda _: self.post_latent[j](
+                    ckpt_s, params_base, params_prog, att))(j)
+                 for j in range(self.num_rems)], None)
+        if self.mu_std:
+            mu_r, scale_r = jnp.split(out, 2, axis=-1)
+        else:
+            mu_r, scale_r = mus, out
+        if static_q:
+            return mu_r, scale_r
+        skip = quality <= self.check_levels[0]
+        return (jnp.where(skip, mus, mu_r),
+                jnp.where(skip, scales, scale_r))
 
     # REM forward is single-quality (reference overrides forward with the
     # single-quality signature, rem_pic.py:226-229)
@@ -141,12 +217,11 @@ class VarianceMaskingPICREM(VarianceMaskingPIC):
         b = x.shape[0]
         h, w = x.shape[1] // 16, x.shape[2] // 16
         c = self.dim_chunk
-        y_dummy = jnp.zeros((b, h, w, c))
-        pb_dummy = jnp.zeros((b, h, w, 2 * c))
-        pp_dummy = jnp.zeros((b, h, w, 2 * c if self.mu_std else c))
+        s = self.ns0
+        y_dummy = jnp.zeros((s, b, h, w, c))
+        pb_dummy = jnp.zeros((s, b, h, w, 2 * c))
+        pp_dummy = jnp.zeros((s, b, h, w, 2 * c if self.mu_std else c))
         att_dummy = jnp.ones_like(pp_dummy)
         for r in range(self.num_rems):
-            for i in range(self.ns0):
-                self.post_latent[r][i](y_dummy, pb_dummy, pp_dummy,
-                                       att_dummy)
+            self.post_latent[r](y_dummy, pb_dummy, pp_dummy, att_dummy)
         return out

@@ -70,7 +70,7 @@ def variance_mask(scale, pr, policy: str = "point-based-std"):
                      jnp.where(p >= 1.0, jnp.ones_like(scale), m))
 
 
-def prog_mask(scales, pr):
+def prog_mask(scales, pr, policy: str = "point-based-std"):
     """Stacked-slice variant for the single-bitstream codec.
 
     scales: [S, B, H, W, C] per-slice stds. Quantile is computed per (S, B)
@@ -79,7 +79,7 @@ def prog_mask(scales, pr):
     """
     s, b = scales.shape[:2]
     flat = scales.reshape(s * b, *scales.shape[2:])
-    out = variance_mask(flat, pr)
+    out = variance_mask(flat, pr, policy)
     return out.reshape(scales.shape)
 
 

@@ -40,6 +40,58 @@ class ResidualBlock(nn.Module):
         return x + y
 
 
+def _conv_from_params(p, x, padding):
+    import jax
+
+    return jax.lax.conv_general_dilated(
+        x, p["kernel"], window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["bias"]
+
+
+def _res_block_apply(p, x):
+    """Pure-function ResidualBlock matching the flax module's ops/order
+    bitwise (Conv_0/Conv_1 3x3, optional Conv_2 1x1 projection)."""
+    y = _conv_from_params(p["Conv_0"], x, [(1, 1), (1, 1)])
+    y = nn.leaky_relu(y)
+    y = _conv_from_params(p["Conv_1"], y, [(1, 1), (1, 1)])
+    y = nn.leaky_relu(y)
+    if "Conv_2" in p:
+        x = _conv_from_params(p["Conv_2"], x, [(0, 0), (0, 0)])
+    return x + y
+
+
+def lrr_apply(params, x_base, params_base, params_prog, att_mask):
+    """Flax-free application of a LatentRateReduction param subtree.
+
+    Used to run ONE slice of an nn.vmap-stacked REM bank (take(i) on the
+    stacked leaves gives a plain LRR tree) inside codec programs and scan
+    bodies, where constructing a flax module is not allowed. Mirrors
+    LatentRateReduction.__call__ exactly (same ops, same order)."""
+    f_base = x_base
+    i = 0
+    while f"enc_base_rep_{i}" in params:
+        f_base = _res_block_apply(params[f"enc_base_rep_{i}"], f_base)
+        i += 1
+    f_ent_base = params_base
+    i = 0
+    while f"enc_base_entropy_{i}" in params:
+        f_ent_base = _res_block_apply(params[f"enc_base_entropy_{i}"],
+                                      f_ent_base)
+        i += 1
+    f_ent_prog = params_prog
+    i = 0
+    while f"enc_prog_entropy_{i}" in params:
+        f_ent_prog = _res_block_apply(params[f"enc_prog_entropy_{i}"],
+                                      f_ent_prog)
+        i += 1
+    fused = jnp.concatenate([f_base, f_ent_base, f_ent_prog], axis=-1)
+    i = 0
+    while f"fuse_{i}" in params:
+        fused = _res_block_apply(params[f"fuse_{i}"], fused)
+        i += 1
+    return params_prog + fused * att_mask
+
+
 class LatentRateReduction(nn.Module):
     """Refine progressive (mu, sigma) from an already-decoded checkpoint
     latent (reference: rem.py:69-141).

@@ -62,6 +62,81 @@ def remap_single_to_multi(single_params, enhanced_params=None):
     return out
 
 
+def stack_legacy_param_nets(params, model):
+    """Convert per-slice ParamNet subtrees (``cc_mean_0`` .. style, the
+    pre-scan layout) into the stacked layout (``cc_mean`` with leading
+    slice axis), zero-padding each slice's ragged first-layer input rows
+    at the exact position the fixed-width support layout expects:
+
+    - base nets:   [d0 | sup(k) | +zeros]           (pad after the sups)
+    - base lrp:    [d0 | sup(k) | +zeros | y_hat]
+    - prog nets:   [dp | base_i | +zeros | muts(k)]  (front-padded slots)
+    - prog lrp:    [dp | base_i | +zeros | muts(k) | y_hat]
+
+    Zero rows meet zero inputs, so converted checkpoints reproduce the
+    original outputs exactly.
+    """
+    import numpy as np
+
+    p = dict(params)
+    c = model.dim_chunk
+    d0 = model.division[0]
+    dp = model.division[1] - model.division[0]
+    nprog = model.ns1 - model.ns0
+    nb, npg = model._n_slots_base, model._n_slots_prog
+
+    def slots_base(i):
+        k = i if model.max_support_slices < 0 else \
+            min(model.max_support_slices, i)
+        return d0 + k * c, (nb - k) * c
+
+    def slots_prog(i):
+        k = min(model.support_progressive_slices, i) \
+            if model.support_progressive_slices > 0 else 0
+        return dp + c, (npg - k) * c
+
+    groups = [("cc_mean", model.ns0, slots_base),
+              ("cc_scale", model.ns0, slots_base),
+              ("lrp", model.ns0, slots_base),
+              ("cc_mean_prog", nprog, slots_prog),
+              ("cc_scale_prog", nprog, slots_prog),
+              ("lrp_prog", model.ns0, slots_prog)]
+    for name, s_count, slot_fn in groups:
+        if f"{name}_0" not in p:
+            continue
+        subs = [p.pop(f"{name}_{i}") for i in range(s_count)]
+        n_layers = len(subs[0])
+        stacked = {}
+        for layer in range(n_layers):
+            kernels, biases = [], []
+            for i, sub in enumerate(subs):
+                kern = np.asarray(sub[f"Conv_{layer}"]["kernel"])
+                if layer == 0:
+                    pos, pad = slot_fn(i)
+                    if pad:
+                        z = np.zeros(kern.shape[:2] + (pad,)
+                                     + kern.shape[3:], kern.dtype)
+                        kern = np.concatenate(
+                            [kern[:, :, :pos], z, kern[:, :, pos:]], axis=2)
+                kernels.append(kern)
+                biases.append(np.asarray(sub[f"Conv_{layer}"]["bias"]))
+            stacked[f"Conv_{layer}_kernel"] = jax.numpy.asarray(
+                np.stack(kernels))
+            stacked[f"Conv_{layer}_bias"] = jax.numpy.asarray(
+                np.stack(biases))
+        p[name] = stacked
+
+    # REM banks: post_latent_{r}_{i} (uniform shapes) -> post_latent_{r}
+    # with a leading slice axis on every leaf (the nn.vmap layout)
+    r = 0
+    while f"post_latent_{r}_0" in p:
+        subs = [p.pop(f"post_latent_{r}_{i}") for i in range(model.ns0)]
+        p[f"post_latent_{r}"] = jax.tree.map(
+            lambda *leaves: jax.numpy.stack(leaves), *subs)
+        r += 1
+    return p
+
+
 def merge_params(template, partial):
     """Overlay `partial` subtrees onto a freshly-initialized `template`
     wherever paths+shapes match (strict=False load analog)."""
@@ -154,5 +229,8 @@ def load_checkpoint(directory: str, which: str = "last",
     else:
         ckptr = ocp.StandardCheckpointer()
         params = ckptr.restore(os.path.join(directory, which))
+    if "cc_mean_0" in params or "post_latent_0_0" in params:
+        # pre-scan per-slice layout
+        params = stack_legacy_param_nets(params, model)
     config["model"] = name
     return model, params, config, meta.get("step", 0)

@@ -249,6 +249,34 @@ class TestBufferedCodec:
         assert b_buf < b_per
 
 
+    def test_wacnn_reference_geometry_roundtrip(self, x):
+        """The 'cnn' registry entry at the reference's own slice geometry:
+        M=320, dim_chunk=32 -> 10 slices with the 5-slice mean-support cap
+        (reference cnn.py:26-133, compress 244-281 / decompress 283-345).
+        Narrow N/ParamNet widths keep the CPU test fast; the support
+        topology is the reference's."""
+        from epic_tpu.codec import PICCodec
+
+        w = get_model("cnn", n=32, m=320, dim_chunk=32,
+                      param_net_widths=(48, 32))
+        assert w.ns0 == 10 and w.max_support_slices == 5
+        assert w._n_slots_base == 5
+        v = w.init({"params": jax.random.key(1)}, x, method="init_all")
+        codec = PICCodec(w, v)
+        buf = codec.compress(x, 0, return_latents=True, buffered=True)
+        # WACNN layout: ONE buffered y-stream per image (cnn.py:244-281)
+        assert len(buf["strings"][0]) == 1
+        assert len(buf["strings"][0][0]) == x.shape[0]
+        dec = codec.decompress(buf)
+        np.testing.assert_array_equal(np.asarray(buf["y_hat_base"]),
+                                      np.asarray(dec["y_hat"]))
+        # per-slice layout decodes identically (stream framing only)
+        per = codec.compress(x, 0, return_latents=True)
+        dec2 = codec.decompress(per)
+        np.testing.assert_array_equal(np.asarray(dec["y_hat"]),
+                                      np.asarray(dec2["y_hat"]))
+
+
 class TestParallelEval:
     def test_data_parallel_eval_on_mesh(self, x):
         from epic_tpu.parallel import (make_mesh, make_parallel_eval_step,
