@@ -101,7 +101,8 @@ def main(argv=None):
     FLUSH_BYTES = 8
     n_base_msgs = (len(bs["z"])
                    + sum(len(sl) for sl in bs["base"]))
-    msgs_per_shell = [len(sh) for sh in bs["progressive"]]
+    # empty shell segments are stored as b"" without a coder call
+    msgs_per_shell = [sum(1 for s in sh if s) for sh in bs["progressive"]]
     flush_bits = np.cumsum(
         [n_base_msgs * FLUSH_BYTES * 8.0]
         + [m * FLUSH_BYTES * 8.0 for m in msgs_per_shell])
