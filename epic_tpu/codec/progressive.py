@@ -256,19 +256,19 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
     mu_s, msups, idx_np, sid_np = cache["entropy"]
 
     nq = len(q_list)
-    if cache["canvas"] is None:
-        # shell-sorted flat canvas per image; boundaries from the shared
-        # sid-derived permutation (bitwise identical to the encoder's)
+    if cache.get("pack") is None:
+        # shell-sorted segment boundaries from the shared sid-derived
+        # permutation (bitwise identical to the encoder's)
         order, starts = _shell_order(sid_np, nq)
         cache["pack"] = (order, starts,
                          _sort_flat(idx_np, order))
-        cache["canvas_sorted"] = np.zeros(order.shape, np.int32)
+        cache["canvas_flat"] = np.zeros(order.shape, np.int32)
         cache["canvas"] = np.zeros(idx_np.shape, np.int32)
     order, starts, idx_sorted = cache["pack"]
     b = idx_np.shape[1]
     j0 = cache["decoded_upto"]
     if q_ind > j0:
-        canvas_sorted = cache["canvas_sorted"]
+        flat = cache["canvas_flat"]
         datas, seg_idx, seg_len, pos = [], [], [], []
         for j in range(j0, q_ind):
             for bi in range(b):
@@ -282,16 +282,15 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
             sym = codec.y_coder.decode_batch(
                 datas, np.ascontiguousarray(np.concatenate(seg_idx)),
                 seg_len)
+            # scatter only the NEW segments into the unsorted flat grid
+            # (undecoded elements stay 0 -> reconstruct to the predicted
+            # mean, as before)
             off = 0
             for (bi, s0, s1), ln in zip(pos, seg_len):
-                canvas_sorted[bi, s0:s1] = sym[off:off + ln]
+                flat[bi, order[bi, s0:s1]] = sym[off:off + ln]
                 off += ln
-        # unsort into the [S,B,h,w,c] grid (undecoded elements stay 0 ->
-        # reconstruct to the predicted mean, as before)
-        grid = np.zeros_like(canvas_sorted)
-        np.put_along_axis(grid, order, canvas_sorted, axis=-1)
         s, _, h, w, c = idx_np.shape
-        cache["canvas"] = grid.reshape(b, s, h, w, c).transpose(
+        cache["canvas"] = flat.reshape(b, s, h, w, c).transpose(
             1, 0, 2, 3, 4)
         cache["decoded_upto"] = q_ind
     canvas = cache["canvas"]
