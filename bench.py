@@ -124,6 +124,10 @@ def _load_model_and_params():
 
     # bfloat16 transforms (entropy math stays f32) — measured 1.4x over
     # f32 on v5e; round-trips remain bit-exact
+    try:  # rbg PRNG: init is RNG-compile-bound (see __graft_entry__)
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
     model = get_model("pic", compute_dtype="bfloat16")
     # init params on the host CPU backend (cheap, avoids a giant device
     # compile), then transfer once

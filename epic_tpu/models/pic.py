@@ -818,10 +818,31 @@ class VarianceMaskingPIC(nn.Module):
         }
 
     def init_all(self, x):
-        """Parameter-initialization entry: traces every submodule (linen
-        creates params lazily, so plain __call__ would skip branches).
+        """Parameter-initialization entry: touches every submodule once
+        (linen creates compact-module params lazily, so plain __call__
+        would skip branches). Deliberately does NOT run the slice chains:
+        the stacked heads create their params in setup(), so one cheap
+        per-slice call covers shape validation and the init program stays
+        small — flagship init compile drops from ~90s to seconds.
         Use: model.init(rngs, x, method='init_all')."""
-        return self.__call__(x, [0, 10], training=False)
+        y = self.latent(x)
+        z = self.h_a(y)
+        self.entropy_bottleneck(z, False)
+        z_hat = self.z_hat_ste(z)
+        lm, ls = self.hyper_synthesis(z_hat)
+        d0 = self.division[0]
+        y_b = y[..., :d0]
+        x_hat = self.synthesize_base(y_b)
+        lm_b, ls_b = lm[..., :d0], ls[..., :d0]
+        mu, scale, msup = self.base_slice_params(lm_b, ls_b, [], 0)
+        self.finish_base_slice(mu, msup, 0)
+        if self.ns1 > self.ns0:
+            self.synthesize_prog(y_b)
+            lm_e, ls_e = lm[..., d0:], ls[..., d0:]
+            mu2, _, _, msup2 = self.prog_slice_params(
+                lm_e, ls_e, mu, [], [], 0)
+            self.finish_prog_slice(mu2, msup2, mu, 0)
+        return {"x_hat": x_hat[None]}
 
     def aux_loss(self):
         """Bottleneck quantile-fitting loss (reference: base.py:22-29

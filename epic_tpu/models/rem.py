@@ -210,10 +210,8 @@ class VarianceMaskingPICREM(VarianceMaskingPIC):
             x, quality, training, mask_policy, checkpoint_ref)
 
     def init_all(self, x):
-        """Trace every submodule incl. all REM banks (for model.init)."""
-        out = self.forward_single_quality(x, 10.0, training=False)
-        # base synthesis branch (only traced at q=0 otherwise)
-        self.synthesize_base(jnp.zeros_like(out["y_base"]))
+        """Touch every submodule incl. all REM banks (for model.init)."""
+        out = super().init_all(x)
         b = x.shape[0]
         h, w = x.shape[1] // 16, x.shape[2] // 16
         c = self.dim_chunk
