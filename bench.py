@@ -184,8 +184,9 @@ def main():
         np.asarray(per_level_psnr(out["x_hat"], x))
         log(f"warmup/compile (batch={batch}) {time.time()-t0:.1f}s")
 
-        codec.y_coder.stats.update(encode_s=0.0, decode_s=0.0)
-        codec.z_coder.stats.update(encode_s=0.0, decode_s=0.0)
+        for c in (codec.y_coder, codec.z_coder):
+            c.stats.update(encode_s=0.0, decode_s=0.0, encode_calls=0,
+                           decode_calls=0, encode_syms=0, decode_syms=0)
         t0 = time.time()
         t_enc = t_dec = 0.0
         total_bits, psnrs, bits = 0.0, None, None
@@ -206,8 +207,13 @@ def main():
                   + codec.y_coder.stats["decode_s"]
                   + codec.z_coder.stats["encode_s"]
                   + codec.z_coder.stats["decode_s"])
+        rans_syms = (codec.y_coder.stats["encode_syms"]
+                     + codec.y_coder.stats["decode_syms"]
+                     + codec.z_coder.stats["encode_syms"]
+                     + codec.z_coder.stats["decode_syms"])
         split = {"encode_s": round(t_enc, 3), "decode_all_s": round(t_dec, 3),
-                 "host_rans_s": round(rans_s, 3)}
+                 "host_rans_s": round(rans_s, 3),
+                 "host_rans_msyms": round(rans_syms / 1e6, 2)}
         # cumulative per-level bpp of the last sweep (base, then shells)
         px = batch * 512 * 768
         bpp_levels = np.cumsum(

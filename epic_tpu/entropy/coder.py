@@ -107,7 +107,9 @@ class RansCoder:
         self._lib = load_library()
         # host-rANS wall-time accounting (batched calls), for the bench's
         # encode/decode/host time split — reset with stats.update(...)
-        self.stats = {"encode_s": 0.0, "decode_s": 0.0}
+        self.stats = {"encode_s": 0.0, "decode_s": 0.0,
+                      "encode_calls": 0, "decode_calls": 0,
+                      "encode_syms": 0, "decode_syms": 0}
 
     # -- single message ---------------------------------------------------
 
@@ -187,6 +189,8 @@ class RansCoder:
             for i in range(m)
         ]
         self.stats["encode_s"] += time.perf_counter() - t_start
+        self.stats["encode_calls"] += 1
+        self.stats["encode_syms"] += int(symbols.size)
         return res
 
     def decode_batch(self, datas: Sequence[bytes], indexes,
@@ -216,6 +220,8 @@ class RansCoder:
         if rc != 0:
             raise RuntimeError(f"batched rANS decode failed with code {rc}")
         self.stats["decode_s"] += time.perf_counter() - t_start
+        self.stats["decode_calls"] += 1
+        self.stats["decode_syms"] += int(out.size)
         return out
 
 
