@@ -154,28 +154,24 @@ class PICCodec:
                     mu, mut, scale, msup = self.model.apply(
                         v, lm_e, ls_e, y_hat_base_slices[i], muts, scales, i,
                         method=VarianceMaskingPIC.prog_slice_params)
-                    muts.append(mut)
+                    muts.append(mut)      # support chain: UNREFINED
+                    scales.append(scale)
+                    mus.append(mu)
                     msups.append(msup)
-                    if with_ckpt:
-                        mu_c, scale_c = self.model.apply(
-                            v, i, q, mu, scale, ckpt, mu_b[i], std_b[i],
-                            method=type(self.model)._refine_prog_params)
-                        scales.append(scale)  # support uses unrefined
-                        mus.append(mu_c)
-                        # masking/coding uses refined scale
-                        scale = scale_c
-                    else:
-                        scales.append(scale)
-                        mus.append(mu)
-                        scale_c = scale
-                    if i == 0:
-                        coding_scales = []
-                    coding_scales.append(scale_c)
                 mu_s = jnp.stack(mus)          # [S,B,h,w,c]
-                scale_s = jnp.stack(coding_scales)
+                scale_s = jnp.stack(scales)
+                if with_ckpt:
+                    # one stacked bank call refines every slice (valid
+                    # because the support above is unrefined,
+                    # rem_pic.py:560-581); masking/coding use the refined
+                    # params
+                    mu_s, scale_s = self.model.apply(
+                        v, q, mu_s, scale_s, ckpt,
+                        jnp.stack(list(mu_b)), jnp.stack(list(std_b)),
+                        method=type(self.model)._refine_prog_params_all)
                 mask = jnp.stack([
                     variance_mask(s, q, self.model.mask_policy)
-                    for s in coding_scales])
+                    for s in scale_s])
                 idx = build_indexes(scale_s * mask, self._scale_table,
                                     self.model.scale_bound).astype(jnp.int8)
                 return mu_s, scale_s, mask, idx, tuple(msups)
