@@ -38,7 +38,7 @@ class PICCodec:
     """Binds (model, variables) to entropy-coding state + jitted programs."""
 
     def __init__(self, model: VarianceMaskingPIC, variables,
-                 nthreads: int = 16):
+                 nthreads: int | None = None):
         self.model = model
         self.variables = variables
         self.gaussian = GaussianConditional().update()

@@ -96,13 +96,21 @@ class RansCoder:
     """
 
     def __init__(self, cdfs, cdf_lengths, offsets,
-                 precision: int = _DEFAULT_PRECISION, nthreads: int = 16):
+                 precision: int = _DEFAULT_PRECISION,
+                 nthreads: int | None = None):
         self.cdfs = _ascontig(cdfs, np.uint32)
         self.cdf_lengths = _ascontig(cdf_lengths, np.int32)
         self.offsets = _ascontig(offsets, np.int32)
         if self.cdfs.ndim != 2:
             raise ValueError("cdfs must be 2-D [num_tables, max_len]")
         self.precision = int(precision)
+        if nthreads is None:
+            # cap at the real core count: extra threads only add context
+            # switches (this box is 1-core; 16 threads measured ~7x slower
+            # in-process than the single-thread path)
+            import os as _os
+
+            nthreads = min(16, _os.cpu_count() or 1)
         self.nthreads = int(nthreads)
         self._lib = load_library()
         # host-rANS wall-time accounting (batched calls), for the bench's

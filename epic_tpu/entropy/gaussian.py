@@ -181,7 +181,7 @@ class GaussianConditional:
     def build_indexes(self, scales):
         return build_indexes(scales, self.scale_table, self.scale_bound)
 
-    def coder(self, nthreads: int = 16):
+    def coder(self, nthreads: int | None = None):
         from .coder import RansCoder
 
         if self.tables is None:
