@@ -51,6 +51,13 @@ def parse_args(argv=None):
     p.add_argument("--check_levels_np", type=int, nargs="+", default=[24])
     p.add_argument("--mu_std", action="store_true", default=True)
     p.add_argument("--rem_dimension", type=str, default="middle")
+    p.add_argument("--lrp", action="store_true",
+                   help="unfreeze lrp_prog in refine_gs (reference "
+                        "README.md step-2 recipe)")
+    # data
+    p.add_argument("--exclude_regions", type=str, nargs="*", default=[],
+                   help="teaser regions held out of training entirely "
+                        "(e.g. d0) for generalization evaluation")
     # optimization
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--aux_learning_rate", type=float, default=1e-3)
@@ -144,7 +151,8 @@ def main(argv=None):
 
     # ---- data (uploaded once) ----
     t0 = time.time()
-    images, has_val = load_teaser_images()
+    images, has_val = load_teaser_images(
+        exclude=tuple(args.exclude_regions))
     cb = build_crop_bank(images, has_val, patch=args.patch_size)
     sampler = make_device_sampler(cb, args.patch_size, args.batch_size)
     val_batches = fixed_val_batches(cb, args.patch_size,
@@ -210,12 +218,13 @@ def main(argv=None):
 
         plan = make_stage(stage_name, tuple(args.lmbda_list),
                           tuple(args.check_levels),
-                          tuple(args.check_levels_np))
+                          tuple(args.check_levels_np),
+                          unfreeze_lrp=args.lrp)
         lr = progress["lr"] if (resuming_here and progress["lr"]) else \
             args.learning_rate
         state = create_train_state(
             params, stage_name, lr, args.aux_learning_rate,
-            args.clip_max_norm, False,
+            args.clip_max_norm, args.lrp,
             model.multiple_decoder, model.multiple_encoder)
         if resuming_here and progress["lr"]:
             state = set_learning_rate(state, progress["lr"])

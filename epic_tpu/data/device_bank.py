@@ -52,14 +52,19 @@ class CropBank:
 
 def load_teaser_images(path: str = TEASER_PATH,
                        scales: Sequence[float] = (1.0, 0.75, 0.5),
+                       exclude: Sequence[str] = (),
                        ) -> Tuple[List[np.ndarray], List[bool]]:
     """Returns (images, has_val): the photographic teaser regions at the
-    requested scales. Only the 'main' photo variants carry a val strip."""
+    requested scales. Only the 'main' photo variants carry a val strip.
+    `exclude` drops whole regions by name — used to hold an entire
+    photograph (e.g. 'd0') out of training for generalization evaluation."""
     from PIL import Image
 
     im = np.asarray(Image.open(path).convert("RGB"))
     images, has_val = [], []
     for name, (y0, y1, x0, x1) in TEASER_REGIONS.items():
+        if name in exclude:
+            continue
         region = im[y0:y1, x0:x1]
         region_scales = scales if name == "main" else (1.0,)
         for s in region_scales:
