@@ -201,6 +201,55 @@ class RansCoder:
         self.stats["encode_syms"] += int(symbols.size)
         return res
 
+    def encode_seg_batch(self, symbols, indexes, msg_lengths: Sequence[int],
+                         seg_ends) -> tuple[list[bytes], np.ndarray]:
+        """Encode M single-stream messages, each with the same number of
+        cumulative segment boundaries, returning per-boundary decode-prefix
+        byte counts.
+
+        seg_ends: int64 [M, nseg], ascending per row, seg_ends[i, -1] ==
+        msg_lengths[i]. Returns (blobs, prefix_bytes [M, nseg]): a decoder
+        needs prefix_bytes[i, k] bytes of message i (counted from its
+        transmission front — see container.py stream reversal) to decode
+        symbols [0, seg_ends[i, k]). This is the one-stream-per-image path
+        (reference BufferedRansEncoder, cnn.py:244-281) extended with exact
+        progressive-prefix accounting."""
+        t_start = time.perf_counter()
+        symbols = _ascontig(symbols, np.int32).ravel()
+        indexes = _ascontig(indexes, np.int32).ravel()
+        lengths = _ascontig(msg_lengths, np.int64).ravel()
+        seg_ends = _ascontig(seg_ends, np.int64)
+        m = lengths.size
+        if seg_ends.ndim != 2 or seg_ends.shape[0] != m:
+            raise ValueError("seg_ends must be [M, nseg]")
+        nseg = seg_ends.shape[1]
+        offs = np.zeros(m, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offs[1:])
+        if offs[-1] + lengths[-1] != symbols.size:
+            raise ValueError("msg_lengths do not cover the symbols buffer")
+        cap = int(max(64, int(lengths.max()) * 8 + 64))
+        out = np.empty(m * cap, dtype=np.uint8)
+        out_lengths = np.empty(m, dtype=np.int64)
+        prefix = np.empty((m, nseg), dtype=np.int64)
+        rc = self._lib.epic_rans_encode_seg_batch(
+            _i32p(symbols), _i32p(indexes), _i64p(offs), _i64p(lengths),
+            np.int32(m), _i64p(seg_ends), np.int32(nseg),
+            _u32p(self.cdfs), np.int64(self.cdfs.shape[1]),
+            _i32p(self.cdf_lengths), _i32p(self.offsets),
+            np.int32(self.precision), _u8p(out), np.int64(cap),
+            _i64p(out_lengths), _i64p(prefix), np.int32(self.nthreads),
+        )
+        if rc != 0:
+            raise RuntimeError("segmented rANS encode failed")
+        res = [
+            out[i * cap:i * cap + int(out_lengths[i])].tobytes()
+            for i in range(m)
+        ]
+        self.stats["encode_s"] += time.perf_counter() - t_start
+        self.stats["encode_calls"] += 1
+        self.stats["encode_syms"] += int(symbols.size)
+        return res, prefix
+
     def decode_batch(self, datas: Sequence[bytes], indexes,
                      msg_lengths: Sequence[int]) -> np.ndarray:
         """Decode M messages; returns one packed int32 symbol buffer."""

@@ -66,6 +66,18 @@ def _declare(lib: ctypes.CDLL) -> None:
         c.c_int32, i32p,
     ]
 
+    lib.epic_rans_encode_seg.restype = c.c_int64
+    lib.epic_rans_encode_seg.argtypes = [
+        i32p, i32p, c.c_int64, i64p, c.c_int32, u32p, c.c_int64, i32p, i32p,
+        c.c_int32, u8p, c.c_int64, i64p,
+    ]
+
+    lib.epic_rans_encode_seg_batch.restype = c.c_int32
+    lib.epic_rans_encode_seg_batch.argtypes = [
+        i32p, i32p, i64p, i64p, c.c_int32, i64p, c.c_int32, u32p, c.c_int64,
+        i32p, i32p, c.c_int32, u8p, c.c_int64, i64p, i64p, c.c_int32,
+    ]
+
     lib.epic_rans_encode_batch.restype = c.c_int32
     lib.epic_rans_encode_batch.argtypes = [
         i32p, i32p, i64p, i64p, c.c_int32, u32p, c.c_int64, i32p, i32p,

@@ -164,6 +164,63 @@ void encode_one(const int32_t* symbols, const int32_t* indexes, int64_t n,
     std::memcpy(out_bytes.data(), enc.out.data(), out_bytes.size());
 }
 
+// Encode one message, recording per-boundary decode-prefix sizes.
+//
+// seg_ends[k] (ascending, seg_ends[nseg-1] == n) are cumulative symbol
+// counts. rANS is a stack: the encoder walks ops in reverse, so the words a
+// decoder consumes while decoding symbols [0, seg_ends[k]) are exactly the
+// flush words plus the words the encoder emits while processing ops below
+// that boundary. prefix_bytes[k] = bytes of the stream (counted from its
+// transmission front = buffer END, where the flushed state lives) needed to
+// decode through boundary k. This is what makes ONE stream per image
+// progressively transmittable with exact per-level byte accounting
+// (reference keeps per-shell messages instead and pays an 8-byte flush per
+// message, functions_encode.py:172-196).
+void encode_seg_one(const int32_t* symbols, const int32_t* indexes, int64_t n,
+                    const int64_t* seg_ends, int32_t nseg,
+                    const uint32_t* cdfs, int64_t cdf_stride,
+                    const int32_t* cdf_lengths, const int32_t* offsets,
+                    int precision, std::vector<uint8_t>& out_bytes,
+                    int64_t* prefix_bytes) {
+    std::vector<Op> ops;
+    ops.reserve(static_cast<size_t>(n) + 16);
+    std::vector<int64_t> boundary_ops(static_cast<size_t>(nseg));
+    {
+        int32_t k = 0;
+        for (int64_t i = 0; i < n; ++i) {
+            while (k < nseg && seg_ends[k] == i)
+                boundary_ops[static_cast<size_t>(k++)] =
+                    static_cast<int64_t>(ops.size());
+            const int32_t idx = indexes[i];
+            ops_for_symbol(symbols[i], cdfs + idx * cdf_stride,
+                           cdf_lengths[idx], offsets[idx], ops);
+        }
+        while (k < nseg)
+            boundary_ops[static_cast<size_t>(k++)] =
+                static_cast<int64_t>(ops.size());
+    }
+    RansEncState enc;
+    std::vector<int64_t> snap(static_cast<size_t>(nseg), 0);
+    int32_t bk = nseg - 1;
+    const int64_t t = static_cast<int64_t>(ops.size());
+    for (int64_t j = t - 1; j >= 0; --j) {
+        while (bk >= 0 && boundary_ops[static_cast<size_t>(bk)] == j + 1)
+            snap[static_cast<size_t>(bk--)] =
+                static_cast<int64_t>(enc.out.size());
+        const Op& op = ops[static_cast<size_t>(j)];
+        if (op.freq != 0) enc.put(op.start, op.freq, precision);
+        else enc.put_bits(op.bits, static_cast<int>(op.nbits));
+    }
+    while (bk >= 0)
+        snap[static_cast<size_t>(bk--)] = static_cast<int64_t>(enc.out.size());
+    const int64_t pre_flush = static_cast<int64_t>(enc.out.size());
+    enc.flush();
+    for (int32_t k = 0; k < nseg; ++k)
+        prefix_bytes[k] = 4 * (2 + pre_flush - snap[static_cast<size_t>(k)]);
+    out_bytes.resize(enc.out.size() * 4);
+    std::memcpy(out_bytes.data(), enc.out.data(), out_bytes.size());
+}
+
 // Decode one message.
 void decode_one(const uint8_t* data, int64_t nbytes,
                 const int32_t* indexes, int64_t n,
@@ -337,6 +394,48 @@ int32_t epic_rans_decode(const uint8_t* data, int64_t nbytes,
     decode_one(data, nbytes, indexes, n, cdfs, cdf_stride, cdf_lengths,
                offsets, precision, symbols_out);
     return 0;
+}
+
+// Segmented encode: one message with nseg cumulative boundaries; returns the
+// byte count (or -1 if out_capacity was exceeded) and fills prefix_bytes[k]
+// with the stream prefix (from the transmission front) needed to decode
+// symbols [0, seg_ends[k]).
+int64_t epic_rans_encode_seg(const int32_t* symbols, const int32_t* indexes,
+                             int64_t n, const int64_t* seg_ends, int32_t nseg,
+                             const uint32_t* cdfs, int64_t cdf_stride,
+                             const int32_t* cdf_lengths,
+                             const int32_t* offsets, int32_t precision,
+                             uint8_t* out, int64_t out_capacity,
+                             int64_t* prefix_bytes) {
+    std::vector<uint8_t> bytes;
+    encode_seg_one(symbols, indexes, n, seg_ends, nseg, cdfs, cdf_stride,
+                   cdf_lengths, offsets, precision, bytes, prefix_bytes);
+    if (static_cast<int64_t>(bytes.size()) > out_capacity) return -1;
+    std::memcpy(out, bytes.data(), bytes.size());
+    return static_cast<int64_t>(bytes.size());
+}
+
+// Batched segmented encode: m messages, each with the SAME number of
+// boundaries nseg. seg_ends is [m, nseg] (cumulative symbol counts local to
+// each message); prefix_bytes is [m, nseg]. Parallel across messages.
+int32_t epic_rans_encode_seg_batch(
+    const int32_t* symbols, const int32_t* indexes, const int64_t* msg_offsets,
+    const int64_t* msg_lengths, int32_t m, const int64_t* seg_ends,
+    int32_t nseg, const uint32_t* cdfs, int64_t cdf_stride,
+    const int32_t* cdf_lengths, const int32_t* offsets, int32_t precision,
+    uint8_t* out, int64_t per_msg_capacity, int64_t* out_lengths,
+    int64_t* prefix_bytes, int32_t nthreads) {
+    std::atomic<int> err{0};
+    parallel_for(m, nthreads, [&](int64_t i) {
+        int64_t r = epic_rans_encode_seg(
+            symbols + msg_offsets[i], indexes + msg_offsets[i], msg_lengths[i],
+            seg_ends + i * nseg, nseg, cdfs, cdf_stride, cdf_lengths, offsets,
+            precision, out + i * per_msg_capacity, per_msg_capacity,
+            prefix_bytes + i * nseg);
+        out_lengths[i] = r;
+        if (r < 0) err.store(-1);
+    });
+    return err.load();
 }
 
 // Batched encode: m messages. Message i covers

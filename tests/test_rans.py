@@ -180,3 +180,76 @@ class TestExtremeEscapeValues:
         dec = coder.stream_decoder(blob)
         np.testing.assert_array_equal(dec.decode_stream(idx), vals)
         dec.close()
+
+
+class TestSegmentedEncode:
+    """One stream per image with per-boundary decode-prefix accounting
+    (encode_seg_batch): the byte counts must be EXACT — decoding from the
+    truncated tail of the stream (its transmission prefix; the decoder
+    reads words from the buffer end, where the flushed state lives) must
+    reproduce every symbol up to the boundary. This is the single-stream
+    progressive layout (VERDICT r2 item 3): one rANS flush per image
+    instead of one per (shell, image)."""
+
+    def _random_msg(self, rng, n):
+        idx = rng.integers(0, 6, n).astype(np.int32)
+        scales = np.array([0.11, 0.5, 1.0, 3.0, 8.0, 20.0])[idx]
+        sym = np.round(rng.normal(0, scales * 1.3)).astype(np.int32)
+        return sym, idx
+
+    def test_bytes_match_plain_encoder(self, coder):
+        rng = np.random.default_rng(7)
+        sym, idx = self._random_msg(rng, 4000)
+        seg_ends = np.array([[1000, 2500, 4000]], np.int64)
+        blobs, prefix = coder.encode_seg_batch(sym, idx, [4000], seg_ends)
+        assert blobs[0] == coder.encode_with_indexes(sym, idx)
+        assert prefix[0, -1] == len(blobs[0])
+        assert np.all(np.diff(prefix[0]) >= 0)
+
+    def test_prefix_decodes_exactly(self, coder):
+        rng = np.random.default_rng(8)
+        msgs = [self._random_msg(rng, n) for n in (3000, 1200, 5000)]
+        lengths = [s.size for s, _ in msgs]
+        nseg = 5
+        seg_ends = np.stack([
+            np.sort(rng.choice(np.arange(1, n), nseg - 1, replace=False))
+            .tolist() + [n] for n in lengths]).astype(np.int64)
+        sym = np.concatenate([s for s, _ in msgs])
+        idx = np.concatenate([i for _, i in msgs])
+        blobs, prefix = coder.encode_seg_batch(sym, idx, lengths, seg_ends)
+        for m, (s, ix) in enumerate(msgs):
+            for k in range(nseg):
+                e = int(seg_ends[m, k])
+                tail = blobs[m][len(blobs[m]) - int(prefix[m, k]):]
+                out = coder.decode_with_indexes(tail, ix[:e])
+                np.testing.assert_array_equal(out, s[:e])
+
+    def test_stream_decoder_over_prefix(self, coder):
+        """Incremental chunked decode from a truncated stream: receive
+        prefix k, decode shells 0..k chunk by chunk — the progressive
+        decoder's actual access pattern."""
+        rng = np.random.default_rng(9)
+        sym, idx = self._random_msg(rng, 6000)
+        seg_ends = np.array([[100, 100, 2000, 4500, 6000]], np.int64)
+        blobs, prefix = coder.encode_seg_batch(sym, idx, [6000], seg_ends)
+        k = 3  # receive only through boundary 3
+        tail = blobs[0][len(blobs[0]) - int(prefix[0, k]):]
+        dec = coder.stream_decoder(tail)
+        s0 = 0
+        for j in range(k + 1):
+            s1 = int(seg_ends[0, j])
+            np.testing.assert_array_equal(
+                dec.decode_stream(idx[s0:s1]), sym[s0:s1])
+            s0 = s1
+        dec.close()
+
+    def test_empty_segments_and_degenerate(self, coder):
+        rng = np.random.default_rng(10)
+        sym, idx = self._random_msg(rng, 500)
+        # leading empty, repeated, and trailing-all boundaries
+        seg_ends = np.array([[0, 0, 500, 500]], np.int64)
+        blobs, prefix = coder.encode_seg_batch(sym, idx, [500], seg_ends)
+        assert prefix[0, 0] == prefix[0, 1] == 8  # flush only
+        assert prefix[0, 2] == prefix[0, 3] == len(blobs[0])
+        tail = blobs[0][-8:]
+        assert coder.decode_with_indexes(tail, idx[:0]).size == 0
