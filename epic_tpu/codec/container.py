@@ -37,16 +37,30 @@ def _rebuild(spec, blobs, pos):
 
 
 def dump_bitstreams(bs: Dict[str, Any]) -> bytes:
-    """bs: {"q_list": [...], "shape": (h,w), "z": [bytes], "base":
-    [[bytes]], "progressive": [[bytes]]} -> container bytes."""
+    """Serialize either progressive layout (progressive.py):
+
+    - "messages": {"q_list", "shape", "z": [bytes], "base": [[bytes]],
+      "progressive": [[bytes]]}
+    - "stream": {"q_list", "shape", "z": [bytes], "y": [bytes],
+      "prefix": [B, nq+1] per-level decode-prefix byte counts} — the
+      prefix matrix rides in the header (it IS the per-level bit
+      accounting a streaming server needs to truncate each y blob).
+    """
+    layout = bs.get("layout",
+                    "stream" if "y" in bs else "messages")
     header: Dict[str, Any] = {"q_list": list(bs["q_list"]),
-                              "shape": list(bs["shape"])}
+                              "shape": list(bs["shape"]),
+                              "layout": layout}
+    keys = ("z", "y") if layout == "stream" else ("z", "base",
+                                                  "progressive")
+    if layout == "stream":
+        import numpy as np
+
+        header["prefix"] = np.asarray(bs["prefix"]).tolist()
     blobs: list[bytes] = []
-    for key in ("z", "base", "progressive"):
+    for key in keys:
         spec, bl = _collect(bs[key])
         header[key] = spec
-        blobs.append(b"")  # alignment sentinel unused; keep blobs flat
-        blobs.pop()
         header[key + "_count"] = len(bl)
         blobs.extend(bl)
     hdr = json.dumps(header).encode()
@@ -60,6 +74,9 @@ def load_bitstreams(data: bytes) -> Dict[str, Any]:
     (hlen,) = struct.unpack("<I", data[8:12])
     header = json.loads(data[12:12 + hlen])
     body = data[12 + hlen:]
+    layout = header.get("layout", "messages")
+    keys = ("z", "y") if layout == "stream" else ("z", "base",
+                                                  "progressive")
 
     def sizes(spec):
         if spec["t"] == "b":
@@ -70,15 +87,20 @@ def load_bitstreams(data: bytes) -> Dict[str, Any]:
         return out
 
     all_sizes = []
-    for key in ("z", "base", "progressive"):
+    for key in keys:
         all_sizes.extend(sizes(header[key]))
     blobs, off = [], 0
     for n in all_sizes:
         blobs.append(body[off:off + n])
         off += n
     out: Dict[str, Any] = {"q_list": header["q_list"],
-                           "shape": tuple(header["shape"])}
+                           "shape": tuple(header["shape"]),
+                           "layout": layout}
+    if layout == "stream":
+        import numpy as np
+
+        out["prefix"] = np.asarray(header["prefix"], dtype=np.int64)
     pos = [0]
-    for key in ("z", "base", "progressive"):
+    for key in keys:
         out[key] = _rebuild(header[key], blobs, pos)
     return out

@@ -412,13 +412,20 @@ class PICCodec:
     def compress(self, x, quality: float = 0.0,
                  return_latents: bool = False,
                  checkpoint_rep=None,
-                 buffered: bool = False) -> Dict[str, Any]:
+                 buffered: bool = False,
+                 raw_base: bool = False) -> Dict[str, Any]:
         """x: [B,H,W,3] float in [0,1], H,W % 64 == 0. Returns the
         bitstream dict (strings layout mirrors reference pic.py:756,833).
 
         buffered=True emits ONE y-stream per image covering all slices
         (reference WACNN's BufferedRansEncoder, cnn.py:244-281) instead of
         per-slice messages; decompress detects the layout from the dict.
+
+        raw_base=True (quality 0 only) skips the base entropy encode and
+        returns the packed base symbols/indexes instead (``_base_sym_np``,
+        ``_base_idx_np`` as [S0,B,h,w,c] int32) — used by the single-stream
+        progressive encoder, which coalesces base + shells into one rANS
+        message per image.
         """
         v = self.variables
         x = jnp.asarray(x)
@@ -460,7 +467,9 @@ class PICCodec:
                 jax.device_get(jnp.stack(sym16_host))).astype(np.int32)
         idx_np = np.asarray(jax.device_get(jnp.stack(idx_host))).astype(
             np.int32)
-        if buffered and quality <= 0:
+        if raw_base and quality <= 0:
+            pass  # caller entropy-codes the base itself (single-stream)
+        elif buffered and quality <= 0:
             # one stream per image over all slices: concat along the slice
             # axis per batch item, single batched encode
             b = sym_np.shape[1]
@@ -479,6 +488,9 @@ class PICCodec:
             "buffered": bool(buffered and quality <= 0),
         }
         if quality <= 0:
+            if raw_base:
+                out["_base_sym_np"] = sym_np
+                out["_base_idx_np"] = idx_np
             if return_latents:
                 out["mean_base"] = jnp.concatenate(mus_b, axis=-1)
                 out["scale_base"] = jnp.concatenate(scales_b, axis=-1)

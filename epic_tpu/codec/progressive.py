@@ -95,11 +95,28 @@ def _sort_flat(arr_np, order):
 def progressive_encode(codec: PICCodec, x,
                        q_list: Optional[Sequence[float]] = None,
                        rems: bool = False,
-                       y_checkpoints=None) -> tuple[Dict[str, Any], list]:
-    """Encode x into {z, base, progressive-shells}. Returns
+                       y_checkpoints=None,
+                       layout: str = "stream") -> tuple[Dict[str, Any], list]:
+    """Encode x into a progressive bitstream. Returns
     (bitstreams, [bits_z, bits_base, [per-shell bits]]) like the reference
-    encode (functions_encode.py:15-64)."""
+    encode (functions_encode.py:15-64).
+
+    layout="stream" (default): ONE y rANS message per image — base slices
+    followed by the shell-sorted progressive symbols — with exact
+    per-level decode-prefix byte counts from the segmented encoder
+    (entropy/coder.py:encode_seg_batch). Two flushes per image total
+    (z + y) instead of the reference's one per (shell, image)
+    (functions_encode.py:172-196), so the transmitted bpp carries no
+    per-shell flush overhead while staying progressively truncatable:
+    the last ``prefix[b][k]`` bytes of image b's y-stream decode levels
+    0..k (the rANS decoder reads from the buffer end).
+
+    layout="messages": the reference-shaped per-(shell, image) messages.
+    """
     q_list = list(q_list if q_list is not None else DEFAULT_Q_LIST)
+    if layout not in ("stream", "messages"):
+        raise ValueError(f"unknown layout {layout!r}")
+    stream = layout == "stream"
     if codec.model.ns1 > codec.model.ns0 and not codec.model.all_scalable:
         # shell encoding quantizes every residual ONCE against
         # quality-independent params; with all_scalable=False the params
@@ -113,7 +130,8 @@ def progressive_encode(codec: PICCodec, x,
             "all_scalable=False models")
     v = codec.variables
 
-    out_base = codec.compress(x, quality=0, return_latents=True)
+    out_base = codec.compress(x, quality=0, return_latents=True,
+                              raw_base=stream)
     y_strings, z_strings = out_base["strings"]
 
     # reuse the device-side context compress already computed (front +
@@ -158,6 +176,46 @@ def progressive_encode(codec: PICCodec, x,
     order, starts = _shell_order(sid_np, nq)
     sym_sorted = _sort_flat(sym_np, order)
     idx_sorted = _sort_flat(idx_np, order)
+    bits_z = sum(len(s) for s in z_strings) * 8.0
+
+    if stream:
+        # one y message per image: [base slices 0..ns0-1, in-shell prog
+        # symbols in shell-sorted order]; boundary k = end of (base,
+        # shell 0, ..., shell nq-1). prefix[bi, k] bytes of the stream
+        # TAIL decode through boundary k — exact per-level accounting
+        # with a single 8-byte flush per image.
+        base_sym = out_base["_base_sym_np"]
+        base_idx = out_base["_base_idx_np"]
+        nb = base_sym[:, 0].size  # symbols per image in the base chain
+        base_flat_sym = base_sym.transpose(1, 0, 2, 3, 4).reshape(b, -1)
+        base_flat_idx = base_idx.transpose(1, 0, 2, 3, 4).reshape(b, -1)
+        seg_ends = np.concatenate(
+            [np.full((b, 1), nb, np.int64), nb + starts[:, 1:]], axis=1)
+        msg_lengths = seg_ends[:, -1]
+        sym_cat = np.concatenate([
+            np.concatenate([base_flat_sym[bi],
+                            sym_sorted[bi, :starts[bi, nq]]])
+            for bi in range(b)])
+        idx_cat = np.concatenate([
+            np.concatenate([base_flat_idx[bi],
+                            idx_sorted[bi, :starts[bi, nq]]])
+            for bi in range(b)])
+        blobs, prefix = codec.y_coder.encode_seg_batch(
+            np.ascontiguousarray(sym_cat), np.ascontiguousarray(idx_cat),
+            msg_lengths, seg_ends)
+        bitstreams = {
+            "layout": "stream",
+            "q_list": q_list,
+            "shape": out_base["shape"],
+            "z": z_strings,
+            "y": blobs,
+            "prefix": prefix,
+        }
+        bits_base = float(prefix[:, 0].sum()) * 8.0
+        bits_prog = [float((prefix[:, j + 1] - prefix[:, j]).sum()) * 8.0
+                     for j in range(nq)]
+        return bitstreams, [bits_z, bits_base, bits_prog]
+
     shells: List[List[bytes]] = [[b""] * b for _ in range(nq)]
     seg_syms, seg_idx, seg_len, pos = [], [], [], []
     for j in range(nq):
@@ -174,17 +232,16 @@ def progressive_encode(codec: PICCodec, x,
             np.ascontiguousarray(np.concatenate(seg_idx)), seg_len)
         for (j, bi), blob in zip(pos, blobs):
             shells[j][bi] = blob
-    bits_prog: List[float] = [
-        sum(len(bl) for bl in shell) * 8.0 for shell in shells]
+    bits_prog = [sum(len(bl) for bl in shell) * 8.0 for shell in shells]
 
     bitstreams = {
+        "layout": "messages",
         "q_list": q_list,
         "shape": out_base["shape"],
         "z": z_strings,
         "base": y_strings,
         "progressive": shells,
     }
-    bits_z = sum(len(s) for s in z_strings) * 8.0
     bits_base = sum(len(s) for sl in y_strings for s in sl) * 8.0
     return bitstreams, [bits_z, bits_base, bits_prog]
 
@@ -201,6 +258,7 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
     q_list = bitstreams["q_list"]
     assert q_ind <= len(q_list)
     cache = cache if cache is not None else {}
+    stream = bitstreams.get("layout", "messages") == "stream"
     t0 = time.time()
 
     if "hyper" not in cache:
@@ -212,6 +270,11 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
     lm, ls = cache["hyper"]
 
     if "base" not in cache:
+        if stream:
+            # stateful per-image decoders over the single y-streams: base
+            # slices come first, shells continue from the same rANS state
+            cache["streams"] = [codec.y_coder.stream_decoder(s)
+                                for s in bitstreams["y"]]
         lm_b = lm[..., :codec.model.division[0]]
         ls_b = ls[..., :codec.model.division[0]]
         y_hat_slices: List[jnp.ndarray] = []
@@ -220,7 +283,13 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
             mu, scale, idx, msup = codec._p_base_params(i)(
                 v, lm_b, ls_b, tuple(y_hat_slices))
             idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
-            sym = codec._decode_slice(bitstreams["base"][i], idx_np)
+            if stream:
+                sym = np.stack([
+                    cache["streams"][bi].decode_stream(idx_np[bi]).reshape(
+                        idx_np[bi].shape)
+                    for bi in range(idx_np.shape[0])])
+            else:
+                sym = codec._decode_slice(bitstreams["base"][i], idx_np)
             y_hat = codec._p_base_finish(i)(v, jnp.asarray(sym), mu, msup)
             y_hat_slices.append(y_hat)
             mu_b.append(mu)
@@ -269,26 +338,36 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
     j0 = cache["decoded_upto"]
     if q_ind > j0:
         flat = cache["canvas_flat"]
-        datas, seg_idx, seg_len, pos = [], [], [], []
-        for j in range(j0, q_ind):
+        if stream:
+            # continue each image's stateful decoder shell by shell (the
+            # rANS state already sits just past the base symbols)
             for bi in range(b):
-                s0, s1 = int(starts[bi, j]), int(starts[bi, j + 1])
+                s0, s1 = int(starts[bi, j0]), int(starts[bi, q_ind])
                 if s1 > s0:
-                    datas.append(bitstreams["progressive"][j][bi])
-                    seg_idx.append(idx_sorted[bi, s0:s1])
-                    seg_len.append(s1 - s0)
-                    pos.append((bi, s0, s1))
-        if seg_len:
-            sym = codec.y_coder.decode_batch(
-                datas, np.ascontiguousarray(np.concatenate(seg_idx)),
-                seg_len)
-            # scatter only the NEW segments into the unsorted flat grid
-            # (undecoded elements stay 0 -> reconstruct to the predicted
-            # mean, as before)
-            off = 0
-            for (bi, s0, s1), ln in zip(pos, seg_len):
-                flat[bi, order[bi, s0:s1]] = sym[off:off + ln]
-                off += ln
+                    sym = cache["streams"][bi].decode_stream(
+                        idx_sorted[bi, s0:s1])
+                    flat[bi, order[bi, s0:s1]] = sym
+        else:
+            datas, seg_idx, seg_len, pos = [], [], [], []
+            for j in range(j0, q_ind):
+                for bi in range(b):
+                    s0, s1 = int(starts[bi, j]), int(starts[bi, j + 1])
+                    if s1 > s0:
+                        datas.append(bitstreams["progressive"][j][bi])
+                        seg_idx.append(idx_sorted[bi, s0:s1])
+                        seg_len.append(s1 - s0)
+                        pos.append((bi, s0, s1))
+            if seg_len:
+                sym = codec.y_coder.decode_batch(
+                    datas, np.ascontiguousarray(np.concatenate(seg_idx)),
+                    seg_len)
+                # scatter only the NEW segments into the unsorted flat grid
+                # (undecoded elements stay 0 -> reconstruct to the
+                # predicted mean, as before)
+                off = 0
+                for (bi, s0, s1), ln in zip(pos, seg_len):
+                    flat[bi, order[bi, s0:s1]] = sym[off:off + ln]
+                    off += ln
         s, _, h, w, c = idx_np.shape
         cache["canvas"] = flat.reshape(b, s, h, w, c).transpose(
             1, 0, 2, 3, 4)

@@ -179,7 +179,8 @@ class TestProgressiveBitstream:
 
     def test_container_roundtrip(self, setup):
         _, _, x, codec = setup
-        bs, _ = progressive_encode(codec, x, [1.0, 10.0])
+        bs, _ = progressive_encode(codec, x, [1.0, 10.0],
+                                   layout="messages")
         blob = dump_bitstreams(bs)
         bs2 = load_bitstreams(blob)
         assert bs2["q_list"] == bs["q_list"]
@@ -188,11 +189,61 @@ class TestProgressiveBitstream:
         assert bs2["base"] == bs["base"]
         assert bs2["progressive"] == bs["progressive"]
 
+    def test_container_roundtrip_stream(self, setup):
+        _, _, x, codec = setup
+        bs, _ = progressive_encode(codec, x, [1.0, 10.0])
+        blob = dump_bitstreams(bs)
+        bs2 = load_bitstreams(blob)
+        assert bs2["layout"] == "stream"
+        assert bs2["z"] == bs["z"]
+        assert bs2["y"] == bs["y"]
+        np.testing.assert_array_equal(bs2["prefix"], bs["prefix"])
+        r = progressive_decode(codec, bs2, 2, {})
+        r0 = progressive_decode(codec, bs, 2, {})
+        np.testing.assert_array_equal(np.asarray(r["y_hat"]),
+                                      np.asarray(r0["y_hat"]))
+
     def test_shell_bits_sum_to_full_quality(self, setup):
         _, _, x, codec = setup
         bs, bits = progressive_encode(codec, x, [0.5, 2.0, 10.0])
         bits_z, bits_base, bits_prog = bits
         assert all(b > 0 for b in bits_prog)
+
+    def test_stream_layout_equals_messages_layout(self, setup):
+        """The single-stream layout must reconstruct bitwise identically
+        to the per-(shell,image) message layout at every level, while the
+        transmitted y bytes shrink by the per-message flush overhead."""
+        _, _, x, codec = setup
+        q_list = [0.5, 2.0, 10.0]
+        bs_s, bits_s = progressive_encode(codec, x, q_list)
+        bs_m, bits_m = progressive_encode(codec, x, q_list,
+                                          layout="messages")
+        cs, cm = {}, {}
+        for j in range(len(q_list) + 1):
+            rs = progressive_decode(codec, bs_s, j, cs)
+            rm = progressive_decode(codec, bs_m, j, cm)
+            np.testing.assert_array_equal(np.asarray(rs["y_hat"]),
+                                          np.asarray(rm["y_hat"]))
+        # stream total <= messages total (flush amortized across shells)
+        total_s = bits_s[1] + sum(bits_s[2])
+        total_m = bits_m[1] + sum(bits_m[2])
+        assert total_s <= total_m
+
+    def test_stream_prefix_truncation_decodes(self, setup):
+        """Progressive transmission semantics: the last prefix[b, k] bytes
+        of each y-stream must decode levels 0..k exactly (base = col 0)."""
+        _, _, x, codec = setup
+        q_list = [0.5, 2.0, 10.0]
+        bs, _ = progressive_encode(codec, x, q_list)
+        for q_ind in range(len(q_list) + 1):
+            trunc = dict(bs)
+            trunc["y"] = [
+                blob[len(blob) - int(bs["prefix"][bi, q_ind]):]
+                for bi, blob in enumerate(bs["y"])]
+            r = progressive_decode(codec, trunc, q_ind, {})
+            full = progressive_decode(codec, bs, q_ind, {})
+            np.testing.assert_array_equal(np.asarray(r["y_hat"]),
+                                          np.asarray(full["y_hat"]))
 
 
 class TestDecodeAll:

@@ -56,8 +56,10 @@ class TestREMProgressive:
             ckpts.append(prev)
         q_list = [2.0, 10.0]
         bs_rem, _ = progressive_encode(codec, x, q_list, rems=True,
-                                       y_checkpoints=ckpts)
-        bs_plain, _ = progressive_encode(codec, x, q_list)
+                                       y_checkpoints=ckpts,
+                                       layout="messages")
+        bs_plain, _ = progressive_encode(codec, x, q_list,
+                                         layout="messages")
         rem_blob = b"".join(s for sl in bs_rem["progressive"] for s in sl)
         plain_blob = b"".join(s for sl in bs_plain["progressive"]
                               for s in sl)
