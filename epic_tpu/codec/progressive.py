@@ -279,9 +279,10 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
         ls_b = ls[..., :codec.model.division[0]]
         y_hat_slices: List[jnp.ndarray] = []
         mu_b, std_b = [], []
+        buf = codec._base_buf0(lm_b)
         for i in range(codec.model.ns0):
-            mu, scale, idx, msup = codec._p_base_params(i)(
-                v, lm_b, ls_b, tuple(y_hat_slices))
+            mu, scale, idx, msup = codec._p_base_params()(
+                v, lm_b, ls_b, buf, np.int32(i))
             idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
             if stream:
                 sym = np.stack([
@@ -290,7 +291,8 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
                     for bi in range(idx_np.shape[0])])
             else:
                 sym = codec._decode_slice(bitstreams["base"][i], idx_np)
-            y_hat = codec._p_base_finish(i)(v, jnp.asarray(sym), mu, msup)
+            y_hat, buf = codec._p_base_finish()(v, jnp.asarray(sym), mu,
+                                                msup, buf, np.int32(i))
             y_hat_slices.append(y_hat)
             mu_b.append(mu)
             std_b.append(scale)

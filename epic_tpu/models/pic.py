@@ -241,6 +241,44 @@ class VarianceMaskingPIC(nn.Module):
         lrp_in = jnp.concatenate([mean_support, y_hat_raw], axis=-1)
         return y_hat_raw + 0.5 * jnp.tanh(self.lrp(lrp_in, i))
 
+    def base_slice_params_dyn(self, latent_means, latent_scales, buf, i):
+        """Codec-side base slice params with a TRACED slice index.
+
+        buf: [max(n_slots,1), B, h, w, c] support buffer (slot j = decoded
+        slice j, zero when unfilled) — the same math as the scan body
+        (_base_chain_scan), so ONE jitted program serves all ns0 slices of
+        the codec's interleaved base chain instead of ns0 per-slice
+        compilations (reference decompress walks per-slice Python modules,
+        pic.py:869-903). Returns (mu, scale, mean_support)."""
+        n, c = self._n_slots_base, self.dim_chunk
+        dt = None if self.compute_dtype == "float32" else \
+            jnp.dtype(self.compute_dtype)
+        ck, cb = self.cc_mean.stacked()
+        sk, sb = self.cc_scale.stacked()
+        sup = jnp.moveaxis(buf[:n], 0, 3).reshape(
+            latent_means.shape[:-1] + (n * c,))
+        mean_support = jnp.concatenate([latent_means, sup], axis=-1)
+        scale_support = jnp.concatenate([latent_scales, sup], axis=-1)
+        mu = paramnet_apply(ck, cb, mean_support, i, dt)
+        scale = paramnet_apply(sk, sb, scale_support, i, dt)
+        return mu, scale, mean_support
+
+    def finish_base_slice_dyn(self, y_hat_raw, mean_support, buf, i):
+        """LRP refinement with a traced slice index + support-buffer
+        update; pairs with base_slice_params_dyn. Returns (y_hat, buf)."""
+        dt = None if self.compute_dtype == "float32" else \
+            jnp.dtype(self.compute_dtype)
+        lk, lb = self.lrp.stacked()
+        lrp_in = jnp.concatenate([mean_support, y_hat_raw], axis=-1)
+        y_hat = y_hat_raw + 0.5 * jnp.tanh(
+            paramnet_apply(lk, lb, lrp_in, i, dt))
+        n = self._n_slots_base
+        if n > 0:
+            upd = jax.lax.dynamic_update_index_in_dim(
+                buf, y_hat, jnp.minimum(i, n - 1), 0)
+            buf = jnp.where(i < n, upd, buf)
+        return y_hat, buf
+
     def prog_slice_params(self, latent_means, latent_scales, y_hat_base_i,
                           mu_support: List[jnp.ndarray],
                           std_support: List[jnp.ndarray], i: int):

@@ -102,14 +102,16 @@ def main(argv=None):
     tb_params = tb_sym = tb_finish = 0.0
     y_hat_slices = []
     syms = []
+    buf = codec._base_buf0(lm_b)
     for i in range(model.ns0):
         t, (mu, scale, idx, msup) = timed(
-            codec._p_base_params(i), v, lm_b, ls_b, tuple(y_hat_slices))
+            codec._p_base_params(), v, lm_b, ls_b, buf, np.int32(i))
         tb_params += t
         y_i = y[..., i * c:(i + 1) * c]
         t, (s16, s32, flag) = timed(codec._p_base_sym(), y_i, mu)
         tb_sym += t
-        t, y_hat = timed(codec._p_base_finish(i), v, s32, mu, msup)
+        t, (y_hat, buf) = timed(codec._p_base_finish(), v, s32, mu, msup,
+                                buf, np.int32(i))
         tb_finish += t
         y_hat_slices.append(y_hat)
         syms.append((s16, idx))
