@@ -155,7 +155,10 @@ def main():
     _enable_compile_cache()
 
     from epic_tpu.codec import (PICCodec, progressive_decode,
-                                progressive_decode_all, progressive_encode)
+                                progressive_decode_all, progressive_encode,
+                                progressive_encode_finish,
+                                progressive_encode_start)
+    from epic_tpu.utils.metrics import _ms_ssim_jit
 
     t_all = time.time()
     t0 = time.time()
@@ -178,6 +181,10 @@ def main():
         mse = jnp.mean((x_hat - x[None]) ** 2, axis=(2, 3, 4)).mean(axis=1)
         return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
+    @jax.jit
+    def per_level_msssim(x_hat, x):
+        return jax.vmap(lambda xh: _ms_ssim_jit(xh, x))(x_hat)
+
     def run(batch: int):
         n_sweeps = max(N_IMAGES // batch, 1)
         pool = make_images(batch * (n_sweeps + 1))
@@ -188,26 +195,40 @@ def main():
         bs, _ = progressive_encode(codec, x, Q_LIST)
         out = progressive_decode_all(codec, bs)
         np.asarray(per_level_psnr(out["x_hat"], x))
+        np.asarray(per_level_msssim(out["x_hat"], x))
         log(f"warmup/compile (batch={batch}) {time.time()-t0:.1f}s")
 
         for c in (codec.y_coder, codec.z_coder):
             c.stats.update(encode_s=0.0, decode_s=0.0, encode_calls=0,
                            decode_calls=0, encode_syms=0, decode_syms=0)
+        # Pipelined sweep: the device runs batch k+1's encode programs
+        # while the host entropy-codes batch k (encode_start dispatches
+        # async, encode_finish is pure host work + ready fetches) — the
+        # double-buffer overlap of VERDICT r2 item 2. Decode programs for
+        # batch k queue behind encode k+1's, keeping the chip busy.
         t0 = time.time()
-        t_enc = t_dec = 0.0
+        t_start = t_finish = t_dec = 0.0
         total_bits, psnrs, bits = 0.0, None, None
-        for img in images[1:]:
-            x = jnp.asarray(img)
-            t1 = time.time()
-            bs, bits = progressive_encode(codec, x, Q_LIST)
-            t_enc += time.time() - t1
-            t1 = time.time()
-            out = progressive_decode_all(codec, bs)
-            jax.block_until_ready(out["x_hat"])  # count async device work
-            t_dec += time.time() - t1
-            # the sweep's deliverable: per-level PSNR, computed on device
-            psnrs = np.asarray(per_level_psnr(out["x_hat"], x))
-            total_bits += bits[0] + bits[1] + sum(bits[2])
+        x_prev = st_prev = None
+        for k in range(n_sweeps + 1):
+            if k < n_sweeps:
+                x = jnp.asarray(images[1 + k])
+                t1 = time.time()
+                st = progressive_encode_start(codec, x, Q_LIST)
+                t_start += time.time() - t1
+            if k > 0:
+                t1 = time.time()
+                bs, bits = progressive_encode_finish(codec, st_prev)
+                t_finish += time.time() - t1
+                t1 = time.time()
+                out = progressive_decode_all(codec, bs)
+                jax.block_until_ready(out["x_hat"])
+                t_dec += time.time() - t1
+                psnrs = np.asarray(per_level_psnr(out["x_hat"], x_prev))
+                msssim = np.asarray(per_level_msssim(out["x_hat"], x_prev))
+                total_bits += bits[0] + bits[1] + sum(bits[2])
+            if k < n_sweeps:
+                x_prev, st_prev = x, st
         elapsed = time.time() - t0
         rans_s = (codec.y_coder.stats["encode_s"]
                   + codec.y_coder.stats["decode_s"]
@@ -217,23 +238,26 @@ def main():
                      + codec.y_coder.stats["decode_syms"]
                      + codec.z_coder.stats["encode_syms"]
                      + codec.z_coder.stats["decode_syms"])
-        split = {"encode_s": round(t_enc, 3), "decode_all_s": round(t_dec, 3),
+        split = {"encode_start_s": round(t_start, 3),
+                 "encode_finish_s": round(t_finish, 3),
+                 "decode_all_s": round(t_dec, 3),
                  "host_rans_s": round(rans_s, 3),
-                 "host_rans_msyms": round(rans_syms / 1e6, 2)}
+                 "host_rans_msyms": round(rans_syms / 1e6, 2),
+                 "pipelined": True}
         # cumulative per-level bpp of the last sweep (base, then shells)
         px = batch * 512 * 768
         bpp_levels = np.cumsum(
             [bits[0] + bits[1]] + list(bits[2])) / px
-        return (n_sweeps * batch / elapsed, total_bits, psnrs, bpp_levels,
-                split, n_sweeps * batch, elapsed, bs)
+        return (n_sweeps * batch / elapsed, total_bits, psnrs, msssim,
+                bpp_levels, split, n_sweeps * batch, elapsed, bs)
 
     try:
-        (img_per_s, total_bits, psnrs, bpp_levels, split, n_done, elapsed,
-         last_bs) = run(BATCH)
+        (img_per_s, total_bits, psnrs, msssim, bpp_levels, split, n_done,
+         elapsed, last_bs) = run(BATCH)
     except Exception as e:  # OOM or tunnel failure -> single-image path
         log(f"batch={BATCH} failed ({type(e).__name__}); retrying batch=1")
-        (img_per_s, total_bits, psnrs, bpp_levels, split, n_done, elapsed,
-         last_bs) = run(1)
+        (img_per_s, total_bits, psnrs, msssim, bpp_levels, split, n_done,
+         elapsed, last_bs) = run(1)
 
     # per-level decode time: the incremental/streaming path (what a client
     # actually experiences per refinement; reference demo.py:121,153)
@@ -259,6 +283,9 @@ def main():
         "checkpoint": ckpt_name,
         "bpp_per_level": [round(float(b), 4) for b in bpp_levels],
         "psnr_per_level": [round(float(p), 2) for p in psnrs],
+        "msssim_db_per_level": [
+            round(-10.0 * float(np.log10(max(1.0 - float(m), 1e-12))), 2)
+            for m in msssim],
         "per_level_decode_s": per_level_s,
         "split": split,
     }))

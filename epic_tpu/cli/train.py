@@ -192,7 +192,9 @@ def main(argv=None):
             imgs = [img for img, _ in list(test_set)[:4]]
             real = compress_with_ac(
                 codec, imgs, pr_list=(0, 0.5, 1, 2, 5, 10),
-                check_levels=plan.rems, compute_ms_ssim=False)
+                check_levels=plan.rems,
+                compute_ms_ssim=(imgs[0].shape[0] >= 176
+                                 and imgs[0].shape[1] >= 176))
             est = test_epoch(eval_step, state.params,
                              [i[None] if i.ndim == 3 else i for i in imgs])
             print(f"  real-codec bpp {real['bpp']} psnr {real['psnr']}")

@@ -3,7 +3,9 @@ progressive single-bitstream pipeline."""
 
 from .pic_codec import PICCodec
 from .progressive import (progressive_encode, progressive_decode,
-                          progressive_decode_all)
+                          progressive_decode_all,
+                          progressive_encode_start,
+                          progressive_encode_finish)
 from .container import dump_bitstreams, load_bitstreams
 
 __all__ = [
@@ -11,6 +13,8 @@ __all__ = [
     "progressive_encode",
     "progressive_decode",
     "progressive_decode_all",
+    "progressive_encode_start",
+    "progressive_encode_finish",
     "dump_bitstreams",
     "load_bitstreams",
 ]

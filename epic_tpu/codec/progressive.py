@@ -92,6 +92,139 @@ def _sort_flat(arr_np, order):
         arr_np.transpose(1, 0, 2, 3, 4).reshape(b, -1), order, -1)
 
 
+def progressive_encode_start(codec: PICCodec, x,
+                             q_list: Optional[Sequence[float]] = None,
+                             rems: bool = False,
+                             y_checkpoints=None) -> Dict[str, Any]:
+    """Device phase of the single-stream progressive encoder: dispatches
+    every device program for this image batch and starts the async
+    device->host copies, WITHOUT any host synchronization. Pair with
+    progressive_encode_finish (host sort + rANS); between the two calls
+    the chip is free to run the next batch's programs — the double-buffer
+    seam that hides host entropy coding behind device compute
+    (SURVEY §2.8 extended; VERDICT r2 item 2)."""
+    q_list = list(q_list if q_list is not None else DEFAULT_Q_LIST)
+    model = codec.model
+    if model.ns1 > model.ns0 and not model.all_scalable:
+        raise ValueError("progressive coding requires all_scalable=True")
+    v = codec.variables
+    x = jnp.asarray(x)
+    c = model.dim_chunk
+
+    y, z_sym_dev = codec._p_front()(v, x, codec._z_med_dev)
+    lm, ls = codec._p_zhat_hyper(False)(v, z_sym_dev, codec._z_med_dev)
+    lm_b = lm[..., :model.division[0]]
+    ls_b = ls[..., :model.division[0]]
+
+    # base chain: device-only on the encoder side (it knows all symbols)
+    buf = codec._base_buf0(lm_b)
+    y_hat_slices: List[jnp.ndarray] = []
+    mus_b, scales_b = [], []
+    s16s, s32s, flags, idxs = [], [], [], []
+    for i in range(model.ns0):
+        mu, scale, idx, msup = codec._p_base_params()(
+            v, lm_b, ls_b, buf, np.int32(i))
+        y_i = y[..., i * c:(i + 1) * c]
+        s16, s32, fl = codec._p_base_sym()(y_i, mu)
+        y_hat, buf = codec._p_base_finish()(v, s32, mu, msup, buf,
+                                            np.int32(i))
+        y_hat_slices.append(y_hat)
+        mus_b.append(mu)
+        scales_b.append(scale)
+        s16s.append(s16)
+        s32s.append(s32)
+        flags.append(fl)
+        idxs.append(idx)
+    base_s16 = jnp.stack(s16s)
+    base_s32 = jnp.stack(s32s)
+    base_idx = jnp.stack(idxs)
+    base_flag = jnp.stack(flags).any()
+
+    if rems and y_checkpoints:
+        mu_s, scale_s, idx_full, msups = codec._p_prog_params_rem_chain(
+            len(y_checkpoints))(v, tuple(y_hat_slices), lm, ls,
+                                tuple(jnp.asarray(ck)
+                                      for ck in y_checkpoints),
+                                tuple(mus_b), tuple(scales_b))
+        mask1 = jnp.ones_like(scale_s)
+    else:
+        mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(10.0)(
+            v, tuple(y_hat_slices), lm, ls)
+    p16, p32, pflag = codec._p_prog_sym()(y, mu_s, mask1)
+    sid = _p_shell_ids(codec, tuple(q_list))(scale_s)
+
+    for a in (z_sym_dev, base_s16, base_idx, base_flag, p16, idx_full,
+              sid, pflag):
+        a.copy_to_host_async()
+    return {
+        "q_list": q_list,
+        "z_sym": z_sym_dev, "base_s16": base_s16, "base_s32": base_s32,
+        "base_idx": base_idx, "base_flag": base_flag,
+        "p16": p16, "p32": p32, "pflag": pflag,
+        "idx_full": idx_full, "sid": sid,
+        # device handles for callers reusing the encoder's work
+        "y": y, "lm": lm, "ls": ls, "base_slices": tuple(y_hat_slices),
+        "mu_s": mu_s, "msups": msups,
+    }
+
+
+def progressive_encode_finish(codec: PICCodec,
+                              st: Dict[str, Any]) -> tuple[Dict[str, Any],
+                                                           list]:
+    """Host phase: shell sort + one segmented rANS stream per image (plus
+    the z streams). Consumes the state from progressive_encode_start."""
+    q_list = st["q_list"]
+    nq = len(q_list)
+
+    z_sym = np.asarray(jax.device_get(st["z_sym"]))
+    z_strings = codec._encode_z(z_sym)
+    z_shape = z_sym.shape[1:3]
+
+    if bool(jax.device_get(st["base_flag"])):
+        base_sym = np.asarray(jax.device_get(st["base_s32"]), np.int32)
+    else:
+        base_sym = np.asarray(
+            jax.device_get(st["base_s16"])).astype(np.int32)
+    base_idx = np.asarray(jax.device_get(st["base_idx"])).astype(np.int32)
+    sym_np = codec._get_sym(st["p16"], st["p32"], st["pflag"])
+    idx_np = np.asarray(jax.device_get(st["idx_full"])).astype(np.int32)
+    sid_np = np.asarray(jax.device_get(st["sid"]))
+
+    b = sym_np.shape[1]
+    order, starts = _shell_order(sid_np, nq)
+    sym_sorted = _sort_flat(sym_np, order)
+    idx_sorted = _sort_flat(idx_np, order)
+
+    nb = base_sym[:, 0].size
+    base_flat_sym = base_sym.transpose(1, 0, 2, 3, 4).reshape(b, -1)
+    base_flat_idx = base_idx.transpose(1, 0, 2, 3, 4).reshape(b, -1)
+    seg_ends = np.concatenate(
+        [np.full((b, 1), nb, np.int64), nb + starts[:, 1:]], axis=1)
+    msg_lengths = seg_ends[:, -1]
+    sym_cat = np.concatenate([
+        np.concatenate([base_flat_sym[bi], sym_sorted[bi, :starts[bi, nq]]])
+        for bi in range(b)])
+    idx_cat = np.concatenate([
+        np.concatenate([base_flat_idx[bi], idx_sorted[bi, :starts[bi, nq]]])
+        for bi in range(b)])
+    blobs, prefix = codec.y_coder.encode_seg_batch(
+        np.ascontiguousarray(sym_cat), np.ascontiguousarray(idx_cat),
+        msg_lengths, seg_ends)
+    bitstreams = {
+        "layout": "stream",
+        "q_list": q_list,
+        "shape": tuple(int(s) for s in z_shape),
+        "z": z_strings,
+        "y": blobs,
+        "prefix": prefix,
+    }
+    bits_z = sum(len(s) for s in z_strings) * 8.0
+    bits_base = float(prefix[:, 0].sum()) * 8.0
+    bits_prog = [float((prefix[:, j + 1] - prefix[:, j]).sum()) * 8.0
+                 for j in range(nq)]
+    return bitstreams, [bits_z, bits_base, bits_prog]
+
+
 def progressive_encode(codec: PICCodec, x,
                        q_list: Optional[Sequence[float]] = None,
                        rems: bool = False,
@@ -116,7 +249,10 @@ def progressive_encode(codec: PICCodec, x,
     q_list = list(q_list if q_list is not None else DEFAULT_Q_LIST)
     if layout not in ("stream", "messages"):
         raise ValueError(f"unknown layout {layout!r}")
-    stream = layout == "stream"
+    if layout == "stream":
+        return progressive_encode_finish(
+            codec, progressive_encode_start(codec, x, q_list, rems,
+                                            y_checkpoints))
     if codec.model.ns1 > codec.model.ns0 and not codec.model.all_scalable:
         # shell encoding quantizes every residual ONCE against
         # quality-independent params; with all_scalable=False the params
@@ -130,8 +266,7 @@ def progressive_encode(codec: PICCodec, x,
             "all_scalable=False models")
     v = codec.variables
 
-    out_base = codec.compress(x, quality=0, return_latents=True,
-                              raw_base=stream)
+    out_base = codec.compress(x, quality=0, return_latents=True)
     y_strings, z_strings = out_base["strings"]
 
     # reuse the device-side context compress already computed (front +
@@ -177,44 +312,6 @@ def progressive_encode(codec: PICCodec, x,
     sym_sorted = _sort_flat(sym_np, order)
     idx_sorted = _sort_flat(idx_np, order)
     bits_z = sum(len(s) for s in z_strings) * 8.0
-
-    if stream:
-        # one y message per image: [base slices 0..ns0-1, in-shell prog
-        # symbols in shell-sorted order]; boundary k = end of (base,
-        # shell 0, ..., shell nq-1). prefix[bi, k] bytes of the stream
-        # TAIL decode through boundary k — exact per-level accounting
-        # with a single 8-byte flush per image.
-        base_sym = out_base["_base_sym_np"]
-        base_idx = out_base["_base_idx_np"]
-        nb = base_sym[:, 0].size  # symbols per image in the base chain
-        base_flat_sym = base_sym.transpose(1, 0, 2, 3, 4).reshape(b, -1)
-        base_flat_idx = base_idx.transpose(1, 0, 2, 3, 4).reshape(b, -1)
-        seg_ends = np.concatenate(
-            [np.full((b, 1), nb, np.int64), nb + starts[:, 1:]], axis=1)
-        msg_lengths = seg_ends[:, -1]
-        sym_cat = np.concatenate([
-            np.concatenate([base_flat_sym[bi],
-                            sym_sorted[bi, :starts[bi, nq]]])
-            for bi in range(b)])
-        idx_cat = np.concatenate([
-            np.concatenate([base_flat_idx[bi],
-                            idx_sorted[bi, :starts[bi, nq]]])
-            for bi in range(b)])
-        blobs, prefix = codec.y_coder.encode_seg_batch(
-            np.ascontiguousarray(sym_cat), np.ascontiguousarray(idx_cat),
-            msg_lengths, seg_ends)
-        bitstreams = {
-            "layout": "stream",
-            "q_list": q_list,
-            "shape": out_base["shape"],
-            "z": z_strings,
-            "y": blobs,
-            "prefix": prefix,
-        }
-        bits_base = float(prefix[:, 0].sum()) * 8.0
-        bits_prog = [float((prefix[:, j + 1] - prefix[:, j]).sum()) * 8.0
-                     for j in range(nq)]
-        return bitstreams, [bits_z, bits_base, bits_prog]
 
     shells: List[List[bytes]] = [[b""] * b for _ in range(nq)]
     seg_syms, seg_idx, seg_len, pos = [], [], [], []

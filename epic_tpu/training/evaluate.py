@@ -46,6 +46,7 @@ def rd_sweep(codec: PICCodec, images: Sequence[np.ndarray],
     nl = len(q_list) + 1  # + base level
     bpp = np.zeros(nl)
     psnr = np.zeros(nl)
+    mssim = np.zeros(nl)
     dec_time = np.zeros(nl)
     count = 0
     for img in images:
@@ -74,6 +75,9 @@ def rd_sweep(codec: PICCodec, images: Sequence[np.ndarray],
             x_hat = unpad_image(out["x_hat"][j], unpad)
             bpp[j] += cum / npix
             psnr[j] += compute_psnr(x, x_hat)
+            if x.shape[1] >= 176 and x.shape[2] >= 176:
+                # reference reports MS-SSIM dB per level (step.py:323-324)
+                mssim[j] += msssim_db(compute_msssim(x, x_hat))
             dec_time[j] += out["decode_time"] / nl
         count += 1
     count = max(count, 1)
@@ -81,6 +85,7 @@ def rd_sweep(codec: PICCodec, images: Sequence[np.ndarray],
         "q_list": [0] + list(q_list),
         "bpp": (bpp / count).tolist(),
         "psnr": (psnr / count).tolist(),
+        "ms_ssim_db": (mssim / count).tolist(),
         "decode_time": (dec_time / count).tolist(),
     }
 

@@ -229,6 +229,25 @@ class TestProgressiveBitstream:
         total_m = bits_m[1] + sum(bits_m[2])
         assert total_s <= total_m
 
+    def test_encode_start_finish_interleaved(self, setup):
+        """The pipelined seam (bench.py): dispatch batch k+1's device
+        phase before finishing batch k's host phase — streams must be
+        byte-identical to sequential encoding."""
+        from epic_tpu.codec import (progressive_encode_finish,
+                                    progressive_encode_start)
+
+        _, _, x, codec = setup
+        q_list = [0.5, 10.0]
+        x2 = jnp.asarray(np.asarray(x)[:, ::-1].copy())
+        st1 = progressive_encode_start(codec, x, q_list)
+        st2 = progressive_encode_start(codec, x2, q_list)
+        bs1, _ = progressive_encode_finish(codec, st1)
+        bs2, _ = progressive_encode_finish(codec, st2)
+        ref1, _ = progressive_encode(codec, x, q_list)
+        ref2, _ = progressive_encode(codec, x2, q_list)
+        assert bs1["y"] == ref1["y"] and bs1["z"] == ref1["z"]
+        assert bs2["y"] == ref2["y"] and bs2["z"] == ref2["z"]
+
     def test_stream_prefix_truncation_decodes(self, setup):
         """Progressive transmission semantics: the last prefix[b, k] bytes
         of each y-stream must decode levels 0..k exactly (base = col 0)."""
