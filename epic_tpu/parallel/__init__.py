@@ -12,6 +12,7 @@ from .mesh import (
     shard_batch,
     make_parallel_train_step,
     make_parallel_eval_step,
+    make_parallel_ckpt_extractor,
 )
 from .distributed import init_multihost, local_shard
 
@@ -21,6 +22,7 @@ __all__ = [
     "shard_batch",
     "make_parallel_train_step",
     "make_parallel_eval_step",
+    "make_parallel_ckpt_extractor",
     "init_multihost",
     "local_shard",
 ]

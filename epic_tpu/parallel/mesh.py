@@ -72,11 +72,14 @@ def make_parallel_train_step(model, plan: StagePlan, mesh: Mesh,
                        in_shardings=(repl, data, repl),
                        out_shardings=(repl, repl))
 
-    def _step(state: TrainState, batch, rng, quality, lmbda_in):
+    with_ckpt = plan.rems is not None
+
+    def _step(state: TrainState, batch, rng, quality, lmbda_in,
+              checkpoint_ref=None):
         def loss_fn(params):
             out = model.apply(
-                {"params": params}, batch, quality, True, None, None,
-                rngs={"noise": rng},
+                {"params": params}, batch, quality, True, None,
+                checkpoint_ref, rngs={"noise": rng},
                 method=VarianceMaskingPIC.forward_single_quality)
             d = criterion(out, batch, lmbda_in)
             return d["loss"], d
@@ -89,9 +92,34 @@ def make_parallel_train_step(model, plan: StagePlan, mesh: Mesh,
         state = state.apply_aux(aux_grads)
         return state, metrics
 
+    if with_ckpt:
+        # rems: the extracted checkpoint latent is batch-like — sharded on
+        # the data axis alongside the inputs it was extracted from
+        return jax.jit(_step,
+                       in_shardings=(repl, data, repl, repl, repl, data),
+                       out_shardings=(repl, repl))
     return jax.jit(_step,
                    in_shardings=(repl, data, repl, repl, repl),
                    out_shardings=(repl, repl))
+
+
+def make_parallel_ckpt_extractor(model, mesh: Mesh,
+                                 axis_name: str = "data") -> Callable:
+    """Data-parallel no-grad checkpoint-latent extraction for REM training
+    (training.step.make_ckpt_extractor under the mesh): batch in, latent
+    out, both sharded on the data axis."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+
+    def extract(params, batch, quality_ref):
+        out = model.apply(
+            {"params": params}, batch, quality_ref, False,
+            method=VarianceMaskingPIC.forward_single_quality)
+        return jax.lax.stop_gradient(out["y_hat"])
+
+    return jax.jit(extract,
+                   in_shardings=(repl, data, repl),
+                   out_shardings=data)
 
 
 def make_parallel_eval_step(model, mesh: Mesh,

@@ -137,6 +137,61 @@ def stack_legacy_param_nets(params, model):
     return p
 
 
+def _stacked_dead_blocks(model):
+    """Per stacked-net, per-slice (pos, pad): the first-layer kernel input
+    rows [pos, pos+pad) multiply support channels that the fixed-width
+    layout keeps structurally zero for that slice (the padding that makes
+    the ragged reference heads, pic.py:83-164, scannable)."""
+    c = model.dim_chunk
+    d0 = model.division[0]
+    dp = model.division[1] - model.division[0]
+    nprog = model.ns1 - model.ns0
+    nb, npg = model._n_slots_base, model._n_slots_prog
+
+    def slots_base(i):
+        k = i if model.max_support_slices < 0 else \
+            min(model.max_support_slices, i)
+        return d0 + k * c, (nb - k) * c
+
+    def slots_prog(i):
+        k = min(model.support_progressive_slices, i) \
+            if model.support_progressive_slices > 0 else 0
+        return dp + c, (npg - k) * c
+
+    return [("cc_mean", model.ns0, slots_base),
+            ("cc_scale", model.ns0, slots_base),
+            ("lrp", model.ns0, slots_base),
+            ("cc_mean_prog", nprog, slots_prog),
+            ("cc_scale_prog", nprog, slots_prog),
+            ("lrp_prog", model.ns0, slots_prog)]
+
+
+def zero_dead_rows(params, model):
+    """Zero the stacked first-layer kernel rows that can never see a
+    nonzero input (the zero-padded support slots). Functionally a no-op —
+    dead rows only ever multiply zeros and receive zero gradient — but it
+    removes the padding's random-init values, so compressed artifacts
+    (save_artifact npz) carry no dead weight: the stored parameter content
+    equals the reference's ragged per-slice heads (~5.8M padded entries at
+    flagship scale, measured; the live padded layout is what makes the
+    chains lax.scan-able)."""
+    import numpy as np
+
+    p = dict(params)
+    for name, s_count, slot_fn in _stacked_dead_blocks(model):
+        if name not in p or "Conv_0_kernel" not in p[name]:
+            continue
+        kern = np.array(jax.device_get(p[name]["Conv_0_kernel"]))
+        for i in range(s_count):
+            pos, pad = slot_fn(i)
+            if pad:
+                kern[i, :, :, pos:pos + pad, :] = 0
+        sub = dict(p[name])
+        sub["Conv_0_kernel"] = jax.numpy.asarray(kern)
+        p[name] = sub
+    return p
+
+
 def merge_params(template, partial):
     """Overlay `partial` subtrees onto a freshly-initialized `template`
     wherever paths+shapes match (strict=False load analog)."""
@@ -169,6 +224,13 @@ def save_artifact(directory: str, params, config: Dict[str, Any],
     with open(os.path.join(directory, "config.json"), "w") as f:
         json.dump({"config": config, "step": step, "dtype": dtype}, f,
                   indent=2)
+    try:  # de-pad: dead stacked rows -> zeros, which zlib removes
+        cfg = {k: (tuple(v) if isinstance(v, list) else v)
+               for k, v in config.items() if k != "model"}
+        params = zero_dead_rows(params,
+                                get_model(config.get("model", "pic"), **cfg))
+    except Exception:
+        pass  # non-PIC config; store as-is
     np_dtype = ml_dtypes.bfloat16 if dtype == "bfloat16" else np.dtype(dtype)
     flat = _flatten_tree(jax.device_get(params))
     out = os.path.join(directory, which + ".npz")

@@ -84,6 +84,51 @@ class TestDataParallelEquivalence:
                        rtol=2e-3, atol=5e-4)
 
 
+class TestDataParallelREM:
+    """rems stage under the mesh: checkpoint-latent extraction + REM-bank
+    step must both equal their single-device counterparts (VERDICT r2
+    item 7 — the rems family adds a second sharded program)."""
+
+    def test_rems_dp_step_matches_single_device(self):
+        from epic_tpu.parallel import make_parallel_ckpt_extractor
+        from epic_tpu.training.step import (extract_quality_ref,
+                                            make_ckpt_extractor)
+
+        model = get_model("rem", check_levels=(0.75,), **TINY_PIC)
+        batch = jax.random.uniform(jax.random.key(0), (8, 64, 64, 3))
+        variables = model.init(
+            {"params": jax.random.key(1), "noise": jax.random.key(2)},
+            batch[:1], method="init_all")
+        plan = make_stage("rems", check_levels=(0.75,))
+        mesh = make_mesh(8)
+
+        q = float(plan.list_quality[len(plan.list_quality) // 2])
+        qref = jnp.float32(extract_quality_ref(q, plan.rems))
+        state1 = create_train_state(variables["params"], "rems")
+        state8 = replicate(create_train_state(variables["params"], "rems"),
+                           mesh)
+        batch_p = shard_batch(batch, mesh)
+
+        ckpt_p = make_parallel_ckpt_extractor(model, mesh)(
+            state8.params, batch_p, qref)
+        ckpt_1 = make_ckpt_extractor(model)(state1.params, batch, qref)
+        np.testing.assert_allclose(np.asarray(jax.device_get(ckpt_p)),
+                                   np.asarray(ckpt_1), rtol=2e-4,
+                                   atol=1e-5)
+
+        rng = jax.random.key(100)
+        step8 = make_parallel_train_step(model, plan, mesh)
+        step1 = make_train_step(model, plan)
+        state8, m8 = step8(state8, batch_p, replicate(rng, mesh),
+                           jnp.float32(q), jnp.float32(0.04), ckpt_p)
+        state1, m1 = step1(state1, batch, rng, jnp.float32(q),
+                           jnp.float32(0.04), ckpt_1)
+        np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                                   rtol=1e-4)
+        _tree_allclose(state1.params, jax.device_get(state8.params),
+                       rtol=2e-3, atol=5e-4)
+
+
 class TestMultiHost:
     def test_local_shard_partitions(self):
         items = list(range(10))
