@@ -72,6 +72,25 @@ def main(argv=None):
     check_levels = (list(model.check_levels)
                     if args.rems and hasattr(model, "check_levels") else None)
 
+    if model.ns1 == model.ns0:
+        # WACNN: no progressive stage — single-quality buffered coding
+        # (reference cnn.py:244-345), one y-stream + one z-stream
+        t0 = time.time()
+        out = codec.compress(xp, quality=0, buffered=True)
+        enc_s = time.time() - t0
+        t0 = time.time()
+        dec = codec.decompress(out)
+        dec_s = time.time() - t0
+        x_hat = unpad_image(dec["x_hat"], unpad)
+        y_strings, z_strings = out["strings"]
+        bits = (sum(len(s) for sl in y_strings for s in sl)
+                + sum(len(s) for s in z_strings)) * 8.0
+        psnr = compute_psnr(x, x_hat)
+        print(f"wacnn: bpp={bits/npix:.4f} psnr={psnr:.2f} "
+              f"enc={enc_s*1000:.0f}ms dec={dec_s*1000:.0f}ms")
+        return [{"q_ind": 0, "bpp": bits / npix, "psnr": psnr,
+                 "time": dec_s}]
+
     if args.fast_encdec:
         res = compress_with_ac(codec, [np.asarray(img)],
                                pr_list=args.q_levs,
