@@ -24,11 +24,9 @@ def heldout_crops(patch=256):
     """256x256 crops strictly inside the validation strip (never seen in
     training) + the full-height val strip as one 256-wide image."""
     import numpy as np
-    from PIL import Image
 
-    from epic_tpu.data.device_bank import (TEASER_PATH, TEASER_REGIONS,
-                                           build_crop_bank,
-                                           load_teaser_images)
+    from epic_tpu.data.device_bank import build_crop_bank, \
+        load_teaser_images
 
     images, has_val = load_teaser_images()
     cb = build_crop_bank(images, has_val, patch=patch)
@@ -46,12 +44,40 @@ def heldout_crops(patch=256):
     return crops
 
 
+def region_crops(region: str, patch=256):
+    """256x256 crops tiling one whole teaser region (e.g. 'd0', the panel
+    the r3 flagship run holds out of training entirely — an unseen
+    PHOTOGRAPH, not a strip of the training photo; VERDICT r2 item 6)."""
+    import numpy as np
+    from PIL import Image
+
+    from epic_tpu.data.device_bank import TEASER_PATH, TEASER_REGIONS
+
+    im = np.asarray(Image.open(TEASER_PATH).convert("RGB"))
+    y0, y1, x0, x1 = TEASER_REGIONS[region]
+    reg = im[y0:y1, x0:x1]
+    h, w = reg.shape[:2]
+    crops = []
+    for oy in range(0, h - patch + 1, patch):
+        for ox in range(0, w - patch + 1, patch):
+            crops.append(reg[oy:oy + patch, ox:ox + patch]
+                         .astype(np.float32) / 255.0)
+    if not crops:  # region smaller than the patch: upscale once
+        crops.append(np.asarray(Image.fromarray(reg).resize(
+            (patch, patch), Image.LANCZOS)).astype(np.float32) / 255.0)
+    return crops
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("ckpt")
     p.add_argument("--which", default=None, help="best|last (auto)")
     p.add_argument("--out", default=None)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--regions", nargs="+", default=["val"],
+                   help="crop groups: 'val' (training-photo val strip) "
+                        "and/or teaser region names like 'd0' (held-out "
+                        "photograph)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -81,36 +107,7 @@ def main(argv=None):
     v = {"params": params}
     codec = PICCodec(model, v)
 
-    crops = heldout_crops()
-    print(f"# {len(crops)} held-out 256x256 crops", flush=True)
-    x = jnp.asarray(np.stack(crops))
-    npix = x.shape[0] * x.shape[1] * x.shape[2]
-
-    # ---- real codec: one progressive encode, all levels decoded ----
-    bs, bits = progressive_encode(codec, x, Q_LIST)
-    out = progressive_decode_all(codec, bs)
-    x_hat = np.asarray(out["x_hat"])  # [1+Q, B, H, W, 3]
-    real_bpp = np.cumsum([bits[0] + bits[1]] + list(bits[2])) / npix
-
-    # Stream-constant overhead: every rANS message ends with an 8-byte
-    # final-state flush (native/epic_rans.cpp:64-78). At 256x256 crops and
-    # <0.2 bpp this fixed cost is ~10% of the stream; it amortizes to ~1%
-    # at the 768x512 bench geometry. The entropy-parity criterion is about
-    # the MODEL matching the real coding cost, so report the gap with the
-    # per-message constant removed alongside the raw one.
-    FLUSH_BYTES = 8
-    n_base_msgs = (len(bs["z"])
-                   + sum(len(sl) for sl in bs["base"]))
-    # empty shell segments are stored as b"" without a coder call
-    msgs_per_shell = [sum(1 for s in sh if s) for sh in bs["progressive"]]
-    flush_bits = np.cumsum(
-        [n_base_msgs * FLUSH_BYTES * 8.0]
-        + [m * FLUSH_BYTES * 8.0 for m in msgs_per_shell])
-    adj_bpp = real_bpp - flush_bits / npix
-    mse = ((x_hat - np.asarray(x)[None]) ** 2).mean(axis=(1, 2, 3, 4))
-    psnr = -10 * np.log10(np.maximum(mse, 1e-12))
-
-    # ---- entropy estimation at matching levels (base + each q) ----
+    # ---- entropy estimation program (shared across groups) ----
     @jax.jit
     def est_bits(params, x, q):
         o = model.apply({"params": params}, x, q, False,
@@ -119,44 +116,96 @@ def main(argv=None):
         return sum(-jnp.log2(l).sum() for l in
                    jax.tree.leaves(lik))
 
-    est_bpp = []
-    for q in [0.0] + list(Q_LIST):
-        est_bpp.append(float(est_bits(params, x, jnp.float32(q))) / npix)
-    est_bpp = np.asarray(est_bpp)
+    def eval_group(crops):
+        x = jnp.asarray(np.stack(crops))
+        npix = x.shape[0] * x.shape[1] * x.shape[2]
 
-    gap_pct = np.abs(real_bpp - est_bpp) / np.maximum(est_bpp, 1e-9) * 100
-    gap_adj_pct = np.abs(adj_bpp - est_bpp) / np.maximum(est_bpp, 1e-9) * 100
+        # real codec: one progressive encode, all levels decoded
+        bs, bits = progressive_encode(codec, x, Q_LIST)
+        out = progressive_decode_all(codec, bs)
+        x_hat = np.asarray(out["x_hat"])  # [1+Q, B, H, W, 3]
+        real_bpp = np.cumsum([bits[0] + bits[1]] + list(bits[2])) / npix
 
-    # 0.05 dB tolerance: at q=10 the mask admits the lowest-std elements,
-    # whose rounding noise can exceed the predicted-mean error — the exact
-    # saturation effect variance masking exists to exploit; tiny top-level
-    # dips are measurement-level, not a codec defect.
-    mono_psnr = bool(np.all(np.diff(psnr) >= -0.05))
-    mono_bpp = bool(np.all(np.diff(real_bpp) >= 0))
+        # Stream-constant overhead: every rANS message ends with an 8-byte
+        # final-state flush (native/epic_rans.cpp:64-78). The single-stream
+        # layout pays exactly TWO flushes per image (z + y) at every level
+        # — the per-shell flush tax of the messages layout is gone (VERDICT
+        # r2 item 3) — so the raw and flush-adjusted gaps nearly coincide.
+        FLUSH_BYTES = 8
+        if bs.get("layout") == "stream":
+            n_msgs = len(bs["z"]) + len(bs["y"])
+            flush_bits = np.full(len(real_bpp),
+                                 n_msgs * FLUSH_BYTES * 8.0)
+        else:
+            n_base_msgs = (len(bs["z"])
+                           + sum(len(sl) for sl in bs["base"]))
+            msgs_per_shell = [sum(1 for s in sh if s)
+                              for sh in bs["progressive"]]
+            flush_bits = np.cumsum(
+                [n_base_msgs * FLUSH_BYTES * 8.0]
+                + [m * FLUSH_BYTES * 8.0 for m in msgs_per_shell])
+        adj_bpp = real_bpp - flush_bits / npix
+        mse = ((x_hat - np.asarray(x)[None]) ** 2).mean(axis=(1, 2, 3, 4))
+        psnr = -10 * np.log10(np.maximum(mse, 1e-12))
 
+        est_bpp = []
+        for q in [0.0] + list(Q_LIST):
+            est_bpp.append(
+                float(est_bits(params, x, jnp.float32(q))) / npix)
+        est_bpp = np.asarray(est_bpp)
+
+        gap_pct = np.abs(real_bpp - est_bpp) / np.maximum(est_bpp,
+                                                          1e-9) * 100
+        gap_adj_pct = np.abs(adj_bpp - est_bpp) / np.maximum(est_bpp,
+                                                             1e-9) * 100
+
+        # 0.05 dB tolerance: at q=10 the mask admits the lowest-std
+        # elements, whose rounding noise can exceed the predicted-mean
+        # error — the exact saturation effect variance masking exists to
+        # exploit; tiny top-level dips are measurement-level.
+        mono_psnr = bool(np.all(np.diff(psnr) >= -0.05))
+        mono_bpp = bool(np.all(np.diff(real_bpp) >= 0))
+        return {
+            "n_crops": len(crops),
+            "real_bpp": [round(float(b), 4) for b in real_bpp],
+            "est_bpp": [round(float(b), 4) for b in est_bpp],
+            "gap_pct": [round(float(g), 2) for g in gap_pct],
+            "max_gap_pct": round(float(gap_pct.max()), 2),
+            "flush_overhead_bpp": round(float(flush_bits[-1]) / npix, 4),
+            "gap_excl_flush_pct": [round(float(g), 2)
+                                   for g in gap_adj_pct],
+            "max_gap_excl_flush_pct": round(float(gap_adj_pct.max()), 2),
+            "psnr": [round(float(p_), 2) for p_ in psnr],
+            "monotone_psnr": mono_psnr,
+            "monotone_bpp": mono_bpp,
+            "criteria": {
+                "top_bpp_lt_2": bool(real_bpp[-1] < 2.0),
+                "psnr_gt_28": bool(psnr[-1] > 28.0),
+                "gap_lt_5pct": bool(gap_adj_pct.max() < 5.0),
+                "monotone": mono_psnr and mono_bpp,
+            },
+        }
+
+    groups = {}
+    for name in args.regions:
+        crops = heldout_crops() if name == "val" else region_crops(name)
+        print(f"# group {name}: {len(crops)} 256x256 crops", flush=True)
+        groups[name] = eval_group(crops)
+
+    first = groups[args.regions[0]]
     res = {
         "checkpoint": f"{args.ckpt}/{which}@{step}",
         "model": {k: cfg.get(k) for k in
                   ("model", "n", "m", "division", "dim_chunk")},
-        "n_heldout_crops": len(crops),
         "levels": [0.0] + list(Q_LIST),
-        "real_bpp": [round(float(b), 4) for b in real_bpp],
-        "est_bpp": [round(float(b), 4) for b in est_bpp],
-        "gap_pct": [round(float(g), 2) for g in gap_pct],
-        "max_gap_pct": round(float(gap_pct.max()), 2),
-        "flush_overhead_bpp": round(float(flush_bits[-1]) / npix, 4),
-        "gap_excl_flush_pct": [round(float(g), 2) for g in gap_adj_pct],
-        "max_gap_excl_flush_pct": round(float(gap_adj_pct.max()), 2),
-        "psnr": [round(float(p_), 2) for p_ in psnr],
-        "monotone_psnr": mono_psnr,
-        "monotone_bpp": mono_bpp,
-        "criteria": {
-            "top_bpp_lt_2": bool(real_bpp[-1] < 2.0),
-            "psnr_gt_28": bool(psnr[-1] > 28.0),
-            "gap_lt_5pct": bool(gap_adj_pct.max() < 5.0),
-            "monotone": mono_psnr and mono_bpp,
-        },
+        "n_heldout_crops": first["n_crops"],
+        **{k: v for k, v in first.items() if k != "n_crops"},
+        "groups": groups,
     }
+    if len(args.regions) > 1 and "d0" in groups:
+        # train-content vs unseen-photograph delta (VERDICT r2 item 6)
+        res["d0_vs_val_psnr_delta_top"] = round(
+            groups["d0"]["psnr"][-1] - first["psnr"][-1], 2)
     print(json.dumps(res, indent=1))
     if args.out:
         with open(args.out, "w") as f:
