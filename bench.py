@@ -44,7 +44,8 @@ TEASER = "/root/reference/imgs/teaser.png"
 _ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 # prefer the paper-config (N=192/M=640) checkpoint when committed — that
 # is the workload BASELINE.md's 10x-CPU target was defined on
-_CANDIDATES = [os.path.join(_ART, "ckpt_r2_flagship"),
+_CANDIDATES = [os.path.join(_ART, "ckpt_r3_flagship"),
+               os.path.join(_ART, "ckpt_r2_flagship"),
                os.path.join(_ART, "ckpt_r2")]
 DEFAULT_CKPT = next((c for c in _CANDIDATES
                      if os.path.exists(os.path.join(c, "config.json"))),

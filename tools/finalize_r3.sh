@@ -1,0 +1,23 @@
+#!/bin/bash
+# Post-training pipeline for the r3 flagship run: compact artifact ->
+# held-out eval (val strip + the d0 photograph held out of training) ->
+# RD-vs-anchors plot. Run AFTER the watchdog exits (chip free).
+#
+# Usage: tools/finalize_r3.sh [RUN_DIR] [STAGE]
+set -euo pipefail
+RUN=${1:-runs/r3_flagship}
+STAGE=${2:-rems}
+DST=artifacts/ckpt_r3_flagship
+
+PYTHONPATH= JAX_PLATFORMS=cpu python tools/make_artifact.py \
+    "$RUN/$STAGE" "$DST"
+# eval on the real chip (fast); falls back to CPU if the tunnel hangs
+timeout 1800 python tools/eval_checkpoint.py "$DST" --regions val d0 \
+    --out "$DST/eval_heldout.json" \
+  || PYTHONPATH= JAX_PLATFORMS=cpu timeout 3600 python \
+    tools/eval_checkpoint.py "$DST" --regions val d0 \
+    --out "$DST/eval_heldout.json"
+PYTHONPATH= JAX_PLATFORMS=cpu python tools/plot_rd.py \
+    "$DST/eval_heldout.json" --out artifacts/rd_r3.png
+cp "$RUN/train_log.jsonl" "$DST/train_log.jsonl" 2>/dev/null || true
+echo "finalize_r3 done: $DST + artifacts/rd_r3.png"
