@@ -661,11 +661,10 @@ class PICCodec:
                 v, lm_b, ls_b, buf, np.int32(i))
             idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
             if buffered:
-                sym = np.stack([
-                    streams[bi].decode_stream(idx_np[bi]).reshape(
-                        idx_np[bi].shape)
-                    for bi in range(idx_np.shape[0])
-                ])
+                nb = idx_np.shape[0]
+                per = idx_np[0].size
+                sym = self.y_coder.decode_streams(
+                    streams, idx_np, [per] * nb).reshape(idx_np.shape)
             else:
                 sym = self._decode_slice(y_strings[i], idx_np)
             y_hat, buf = self._p_base_finish()(v, jnp.asarray(sym), mu,

@@ -382,10 +382,11 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
                 v, lm_b, ls_b, buf, np.int32(i))
             idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
             if stream:
-                sym = np.stack([
-                    cache["streams"][bi].decode_stream(idx_np[bi]).reshape(
-                        idx_np[bi].shape)
-                    for bi in range(idx_np.shape[0])])
+                nb = idx_np.shape[0]
+                per = idx_np[0].size
+                sym = codec.y_coder.decode_streams(
+                    cache["streams"], idx_np, [per] * nb).reshape(
+                        idx_np.shape)
             else:
                 sym = codec._decode_slice(bitstreams["base"][i], idx_np)
             y_hat, buf = codec._p_base_finish()(v, jnp.asarray(sym), mu,
@@ -438,14 +439,21 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
     if q_ind > j0:
         flat = cache["canvas_flat"]
         if stream:
-            # continue each image's stateful decoder shell by shell (the
-            # rANS state already sits just past the base symbols)
-            for bi in range(b):
-                s0, s1 = int(starts[bi, j0]), int(starts[bi, q_ind])
-                if s1 > s0:
-                    sym = cache["streams"][bi].decode_stream(
-                        idx_sorted[bi, s0:s1])
-                    flat[bi, order[bi, s0:s1]] = sym
+            # continue every image's stateful decoder through shells
+            # [j0, q_ind) in ONE threaded C call (the rANS states already
+            # sit just past the base symbols; per-image chunks are ragged)
+            spans = [(int(starts[bi, j0]), int(starts[bi, q_ind]))
+                     for bi in range(b)]
+            seg_idx = np.concatenate(
+                [idx_sorted[bi, s0:s1] for bi, (s0, s1) in enumerate(spans)]
+            ) if spans else np.zeros(0, np.int32)
+            sym = codec.y_coder.decode_streams(
+                cache["streams"], seg_idx,
+                [s1 - s0 for s0, s1 in spans])
+            off = 0
+            for bi, (s0, s1) in enumerate(spans):
+                flat[bi, order[bi, s0:s1]] = sym[off:off + (s1 - s0)]
+                off += s1 - s0
         else:
             datas, seg_idx, seg_len, pos = [], [], [], []
             for j in range(j0, q_ind):

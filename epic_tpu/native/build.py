@@ -78,6 +78,12 @@ def _declare(lib: ctypes.CDLL) -> None:
         i32p, i32p, c.c_int32, u8p, c.c_int64, i64p, i64p, c.c_int32,
     ]
 
+    lib.epic_rans_stream_decode_batch.restype = c.c_int32
+    lib.epic_rans_stream_decode_batch.argtypes = [
+        c.POINTER(c.c_void_p), c.c_int32, i32p, i64p, i64p, u32p,
+        c.c_int64, i32p, i32p, c.c_int32, i32p, c.c_int32,
+    ]
+
     lib.epic_rans_encode_batch.restype = c.c_int32
     lib.epic_rans_encode_batch.argtypes = [
         i32p, i32p, i64p, i64p, c.c_int32, u32p, c.c_int64, i32p, i32p,

@@ -553,4 +553,26 @@ void epic_rans_stream_free(void* handle) {
     delete static_cast<EpicRansStream*>(handle);
 }
 
+// Advance m INDEPENDENT streams by one chunk each, in parallel across
+// host threads (each stream's state is its own; chunk i covers
+// indexes[msg_offsets[i] : msg_offsets[i] + msg_lengths[i]]). This is the
+// decoder-side mirror of the batched encoders: one C call per SLICE for
+// the whole image batch instead of one per (image, slice).
+int32_t epic_rans_stream_decode_batch(
+    void* const* handles, int32_t m, const int32_t* indexes,
+    const int64_t* msg_offsets, const int64_t* msg_lengths,
+    const uint32_t* cdfs, int64_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets, int32_t precision, int32_t* symbols_out,
+    int32_t nthreads) {
+    std::atomic<int> err{0};
+    parallel_for(m, nthreads, [&](int64_t i) {
+        int32_t r = epic_rans_stream_decode(
+            handles[i], indexes + msg_offsets[i], msg_lengths[i], cdfs,
+            cdf_stride, cdf_lengths, offsets, precision,
+            symbols_out + msg_offsets[i]);
+        if (r != 0) err.store(r);
+    });
+    return err.load();
+}
+
 }  // extern "C"

@@ -253,3 +253,38 @@ class TestSegmentedEncode:
         assert prefix[0, 2] == prefix[0, 3] == len(blobs[0])
         tail = blobs[0][-8:]
         assert coder.decode_with_indexes(tail, idx[:0]).size == 0
+
+
+class TestBatchedStreamDecode:
+    """decode_streams: M independent stateful streams advanced one chunk
+    each in a single threaded C call — must match per-stream decoding."""
+
+    def test_matches_sequential_stream_decode(self, coder):
+        rng = np.random.default_rng(11)
+        msgs = []
+        for n in (1000, 2500, 400):
+            idx = rng.integers(0, 6, n).astype(np.int32)
+            scales = np.array([0.11, 0.5, 1.0, 3.0, 8.0, 20.0])[idx]
+            sym = np.round(rng.normal(0, scales * 1.3)).astype(np.int32)
+            msgs.append((sym, idx))
+        blobs = [coder.encode_with_indexes(s, i) for s, i in msgs]
+        # batched: two ragged chunks per stream (incl. a zero-length one)
+        sa = [coder.stream_decoder(b) for b in blobs]
+        cut = [300, 0, 150]
+        out1 = coder.decode_streams(
+            sa, np.concatenate([m[1][:c] for m, c in zip(msgs, cut)]),
+            cut)
+        out2 = coder.decode_streams(
+            sa, np.concatenate([m[1][c:] for m, c in zip(msgs, cut)]),
+            [m[0].size - c for m, c in zip(msgs, cut)])
+        got = []
+        o1 = o2 = 0
+        for (sym, idx), c in zip(msgs, cut):
+            got.append(np.concatenate([out1[o1:o1 + c],
+                                       out2[o2:o2 + sym.size - c]]))
+            o1 += c
+            o2 += sym.size - c
+        for (sym, _), g in zip(msgs, got):
+            np.testing.assert_array_equal(g, sym)
+        for s in sa:
+            s.close()
