@@ -157,19 +157,14 @@ class PICCodec:
 
             def f(v, y_hat_base_slices, lm, ls, ckpt=None,
                   mu_b=None, std_b=None):
-                mus, muts, scales, msups = [], [], [], []
-                lm_e = lm[..., self.model.division[0]:]
-                ls_e = ls[..., self.model.division[0]:]
-                for i in range(self.model.ns1 - self.model.ns0):
-                    mu, mut, scale, msup = self.model.apply(
-                        v, lm_e, ls_e, y_hat_base_slices[i], muts, scales, i,
-                        method=VarianceMaskingPIC.prog_slice_params)
-                    muts.append(mut)      # support chain: UNREFINED
-                    scales.append(scale)
-                    mus.append(mu)
-                    msups.append(msup)
-                mu_s = jnp.stack(mus)          # [S,B,h,w,c]
-                scale_s = jnp.stack(scales)
+                # the model's scan chain (support: UNREFINED mu_total /
+                # scale, all_scalable semantics) — one lax.scan body
+                # instead of ns1-ns0 unrolled slices, same bitwise outputs
+                # (tests/test_scan_chains.py); cuts the codec's largest
+                # compile unit ~10x (VERDICT r2 cold-start item)
+                mu_s, _, scale_s, msups = self.model.apply(
+                    v, y_hat_base_slices, lm, ls,
+                    method=type(self.model)._prog_param_chain)
                 if with_ckpt:
                     # one stacked bank call refines every slice (valid
                     # because the support above is unrefined,

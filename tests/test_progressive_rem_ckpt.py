@@ -115,9 +115,12 @@ class TestCheckpointIO:
     def test_artifact_npz_roundtrip(self, rem_codec, tmp_path):
         """Compact committed-artifact format (config.json + npz): loads
         through the same load_checkpoint entry; values equal up to the
-        bf16 storage cast."""
+        bf16 storage cast and the de-padding of dead stacked rows
+        (zero_dead_rows — functionally a no-op, tested bitwise in
+        test_scan_chains.py)."""
         from epic_tpu.training import load_checkpoint
-        from epic_tpu.training.checkpoint import save_artifact
+        from epic_tpu.training.checkpoint import (save_artifact,
+                                                  zero_dead_rows)
 
         model, v, x, codec = rem_codec
         cfg = dict(TINY_REM)
@@ -127,7 +130,8 @@ class TestCheckpointIO:
         assert out.endswith("last.npz")
         model2, params2, cfg2, step = load_checkpoint(d)
         assert step == 11 and cfg2["model"] == "rem"
-        a, b = jax.tree.leaves(v["params"]), jax.tree.leaves(params2)
+        expected = zero_dead_rows(v["params"], model)
+        a, b = jax.tree.leaves(expected), jax.tree.leaves(params2)
         assert len(a) == len(b)
         for pa, pb in zip(a, b):
             assert pb.dtype == jnp.float32

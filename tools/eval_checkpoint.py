@@ -116,13 +116,24 @@ def main(argv=None):
         return sum(-jnp.log2(l).sum() for l in
                    jax.tree.leaves(lik))
 
-    def eval_group(crops):
+    def eval_group(crops, rems=False):
         x = jnp.asarray(np.stack(crops))
         npix = x.shape[0] * x.shape[1] * x.shape[2]
 
-        # real codec: one progressive encode, all levels decoded
-        bs, bits = progressive_encode(codec, x, Q_LIST)
-        out = progressive_decode_all(codec, bs)
+        # real codec: one progressive encode, all levels decoded. With
+        # rems=True the chained REM checkpoints refine the coding params
+        # (reference functions_encode.py:127-148) — the path the rems
+        # training stage actually improves.
+        ckpts = None
+        if rems:
+            ckpts, prev = [], None
+            for cl in model.check_levels:
+                prev = codec.extract_checkpoint(x, cl, checkpoint_rep=prev)
+                ckpts.append(prev)
+        bs, bits = progressive_encode(codec, x, Q_LIST, rems=rems,
+                                      y_checkpoints=ckpts)
+        out = progressive_decode_all(codec, bs, rems=rems,
+                                     y_checkpoints=ckpts)
         x_hat = np.asarray(out["x_hat"])  # [1+Q, B, H, W, 3]
         real_bpp = np.cumsum([bits[0] + bits[1]] + list(bits[2])) / npix
 
@@ -166,6 +177,11 @@ def main(argv=None):
         mono_psnr = bool(np.all(np.diff(psnr) >= -0.05))
         mono_bpp = bool(np.all(np.diff(real_bpp) >= 0))
         return {
+            # entropy estimation always runs the PLAIN forward; for REM
+            # groups the gap fields compare chained-REM real bits against
+            # that plain estimate (informative, not a parity criterion)
+            **({"est_note": "est uses the plain (non-REM) forward"}
+               if rems else {}),
             "n_crops": len(crops),
             "real_bpp": [round(float(b), 4) for b in real_bpp],
             "est_bpp": [round(float(b), 4) for b in est_bpp],
@@ -187,10 +203,15 @@ def main(argv=None):
         }
 
     groups = {}
+    is_rem = hasattr(model, "check_levels") and cfg.get("model") == "rem"
     for name in args.regions:
         crops = heldout_crops() if name == "val" else region_crops(name)
         print(f"# group {name}: {len(crops)} 256x256 crops", flush=True)
         groups[name] = eval_group(crops)
+        if is_rem:
+            # same content through the REM-refined coding path; the
+            # difference vs the plain group is what the rems stage buys
+            groups[name + "_rem"] = eval_group(crops, rems=True)
 
     first = groups[args.regions[0]]
     res = {
