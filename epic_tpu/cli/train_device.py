@@ -249,6 +249,7 @@ def main(argv=None):
         t_stage = time.time()
         t_log = time.time()
         pending = None  # last metrics (device-resident until log point)
+        nonfinite_logs = 0
 
         for step in range(start, stage_steps):
             rng, data_rng, noise_rng = jax.random.split(rng, 3)
@@ -289,8 +290,19 @@ def main(argv=None):
                       "steps_per_s": round(sps, 3), "ts": time.time()})
                 beat()
                 if not np.isfinite(m.get("loss", 0.0)):
-                    print("non-finite loss — aborting", flush=True)
-                    sys.exit(3)
+                    # apply_if_finite already skipped the bad UPDATE; a
+                    # non-finite logged loss from one pathological batch
+                    # is survivable — abort only when it persists (real
+                    # divergence)
+                    nonfinite_logs += 1
+                    print(f"non-finite loss ({nonfinite_logs}/3) — "
+                          "update skipped by apply_if_finite", flush=True)
+                    if nonfinite_logs >= 3:
+                        print("non-finite loss persists — aborting",
+                              flush=True)
+                        sys.exit(3)
+                else:
+                    nonfinite_logs = 0
 
             if gstep % args.val_every == 0 or gstep == stage_steps:
                 val = valid_epoch(eval_step, state.params, val_batches,

@@ -61,17 +61,22 @@ def create_train_state(params, stage: str = "first_train",
     # ReduceLROnPlateau-style LR drop (set_learning_rate below) preserves
     # the Adam moments — matching the reference's in-place scheduler
     # (train.py:130) instead of re-initializing the optimizer.
-    tx = optax.chain(
+    # apply_if_finite: a single non-finite gradient otherwise poisons the
+    # whole tree THROUGH clip_by_global_norm (inf norm -> 0*inf = NaN
+    # scale -> NaN params; observed once at flagship step ~30.7k). Skipping
+    # the bad step preserves the moments and training just continues; 20
+    # consecutive bad steps means real divergence and propagates.
+    tx = optax.apply_if_finite(optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.multi_transform(
             {"train": optax.inject_hyperparams(optax.adam)(learning_rate),
              "freeze": optax.set_to_zero()},
             _label_tree(mask)),
-    )
-    aux_tx = optax.multi_transform(
+    ), max_consecutive_errors=20)
+    aux_tx = optax.apply_if_finite(optax.multi_transform(
         {"train": optax.adam(aux_learning_rate),
          "freeze": optax.set_to_zero()},
-        _label_tree(quantiles_mask(params)))
+        _label_tree(quantiles_mask(params))), max_consecutive_errors=20)
     return TrainState(step=0, params=params,
                       opt_state=tx.init(params),
                       aux_opt_state=aux_tx.init(params),

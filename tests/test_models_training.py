@@ -428,3 +428,39 @@ class TestSingleBranchConfigs:
         out = m.apply(v, x, [0, 10], False)
         assert out["x_hat"].shape == (2, 2, 64, 64, 3)
         assert np.isfinite(np.asarray(out["x_hat"])).all()
+
+
+class TestNonFiniteGradGuard:
+    """apply_if_finite wrapping (training/state.py): one non-finite
+    gradient must NOT poison params through clip_by_global_norm (inf
+    global norm -> NaN scale -> NaN tree — observed once at flagship
+    step ~30.7k); the bad update is skipped and training continues."""
+
+    def test_poisoned_update_skipped_then_recovers(self):
+        from epic_tpu.training.state import (create_train_state,
+                                             get_learning_rate,
+                                             set_learning_rate)
+
+        params = {"g_s_1": {"w": jnp.ones((4,))},
+                  "g_a_1": {"w": jnp.ones((3,))},
+                  "entropy_bottleneck": {"quantiles": jnp.ones((2,))}}
+        st = create_train_state(params, "first_train")
+        g = jax.tree.map(lambda p: jnp.full_like(p, 0.1), params)
+        g_bad = jax.tree.map(lambda p: jnp.full_like(p, np.inf), params)
+        st2 = st.apply_main(g)
+        st3 = st2.apply_main(g_bad)   # skipped: params unchanged
+        for a, b in zip(jax.tree.leaves(st2.params),
+                        jax.tree.leaves(st3.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        st4 = st3.apply_main(g)       # recovers
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree.leaves(st4.params))
+        # LR plumbing still reaches through ApplyIfFiniteState
+        assert np.isclose(get_learning_rate(st4), 1e-4, rtol=1e-5)
+        st5 = set_learning_rate(st4, 5e-5)
+        assert np.isclose(get_learning_rate(st5), 5e-5, rtol=1e-5)
+        # aux optimizer guarded too
+        st6 = st5.apply_aux(g_bad)
+        for a, b in zip(jax.tree.leaves(st5.params),
+                        jax.tree.leaves(st6.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
