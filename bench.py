@@ -35,7 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_IMG_PER_S = 0.15  # 10x the measured CPU-backend sweep throughput
 Q_LIST = [0.01, 0.05, 0.1, 0.25, 0.5, 0.6, 0.7, 0.8, 0.9, 1, 2, 3, 4,
           4.5, 10]
-N_IMAGES = int(os.environ.get("BENCH_IMAGES", "4"))
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "12"))  # >= 2 sweeps so the
+# encode(k+1)/host(k) pipeline actually overlaps (1 sweep = no overlap)
 # sweep batch: amortizes per-program dispatch/tunnel latency across images
 # (B=4 measured ~1.3x over B=1; B=8 exceeds v5e HBM). Falls back to 1 on
 # any failure.
