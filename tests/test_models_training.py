@@ -55,6 +55,25 @@ class TestRegistry:
         out = w.apply(v, x, [0], False)
         assert out["x_hat"].shape == (1, 2, 64, 64, 3)
         assert "y_prog" not in out["likelihoods"]
+        # standalone-class surface (models/cnn.py; reference cnn.py:26-188)
+        from epic_tpu.models import WACNN
+
+        assert isinstance(w, WACNN)
+        # geometry is pinned even against inconsistent caller config
+        forced = WACNN(n=16, m=32, dim_chunk=8, param_net_widths=(24, 16),
+                       division=(8, 16), multiple_encoder=True)
+        assert tuple(forced.division) == (32, 32)
+        assert not forced.multiple_encoder
+        assert jax.tree_util.tree_structure(
+            forced.init({"params": jax.random.key(1)}, x,
+                        method="init_all")) == \
+            jax.tree_util.tree_structure(v)
+        # reference forward contract: single x_hat, {y, z} likelihoods
+        fwd = w.apply(v, x, False, method="forward")
+        assert fwd["x_hat"].shape == x.shape
+        assert set(fwd["likelihoods"]) == {"y", "z"}
+        np.testing.assert_array_equal(np.asarray(fwd["x_hat"]),
+                                      np.asarray(out["x_hat"][0]))
 
     def test_unknown_model_raises(self):
         with pytest.raises(KeyError):
