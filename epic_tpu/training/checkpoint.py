@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any, Dict, Optional
 
 import jax
@@ -29,10 +30,20 @@ def save_checkpoint(directory: str, params, config: Dict[str, Any],
         json.dump({"config": config, "step": step}, f, indent=2)
     ckptr = ocp.StandardCheckpointer()
     targets = (["last"] if keep_last else []) + (["best"] if is_best else [])
-    for name in targets:
-        path = os.path.join(directory, name)
-        ckptr.save(path, jax.device_get(params), force=True)
+    if not targets:
+        return
+    # One device_get + one Orbax serialize; further targets are plain
+    # directory copies (a flagship save is ~300 MB over the TPU tunnel,
+    # so fetching/serializing once instead of per-target halves the
+    # wall cost of an is_best save).
+    first = os.path.join(directory, targets[0])
+    ckptr.save(first, jax.device_get(params), force=True)
     ckptr.wait_until_finished()
+    for name in targets[1:]:
+        path = os.path.join(directory, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        shutil.copytree(first, path)
 
 
 def remap_single_to_multi(single_params, enhanced_params=None):
