@@ -20,4 +20,8 @@ timeout 1800 python tools/eval_checkpoint.py "$DST" --regions val d0 \
 PYTHONPATH= JAX_PLATFORMS=cpu python tools/plot_rd.py \
     "$DST/eval_heldout.json" --out artifacts/rd_r3.png
 cp "$RUN/train_log.jsonl" "$DST/train_log.jsonl" 2>/dev/null || true
+# per-program device profile on the fresh checkpoint (real chip); bench.py
+# cites it for device-busy fraction + achieved TFLOP/s
+timeout 900 python tools/profile_sweep.py --ckpt "$DST" \
+    --out artifacts/profile_r3.json || true
 echo "finalize_r3 done: $DST + artifacts/rd_r3.png"
