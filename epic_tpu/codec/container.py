@@ -15,16 +15,28 @@ _MAGIC = b"EPICTPU1"
 
 
 def _collect(tree):
-    """Flatten nested lists of bytes -> (spec, blobs)."""
+    """Flatten nested containers of bytes -> (spec, blobs). Lists/tuples,
+    dicts and JSON scalars are supported so aux payloads (e.g. embedded
+    REM check-level streams, cli/codec.py) serialize wholesale."""
     if isinstance(tree, (bytes, bytearray)):
         return {"t": "b", "n": len(tree)}, [bytes(tree)]
-    if isinstance(tree, list):
+    if isinstance(tree, (list, tuple)):
         specs, blobs = [], []
         for item in tree:
             s, b = _collect(item)
             specs.append(s)
             blobs.extend(b)
         return {"t": "l", "items": specs}, blobs
+    if isinstance(tree, dict):
+        keys = list(tree.keys())
+        specs, blobs = [], []
+        for k in keys:
+            s, b = _collect(tree[k])
+            specs.append(s)
+            blobs.extend(b)
+        return {"t": "d", "keys": keys, "items": specs}, blobs
+    if tree is None or isinstance(tree, (bool, int, float, str)):
+        return {"t": "j", "v": tree}, []
     raise TypeError(f"unsupported bitstream leaf {type(tree)}")
 
 
@@ -33,6 +45,11 @@ def _rebuild(spec, blobs, pos):
         blob = blobs[pos[0]]
         pos[0] += 1
         return blob
+    if spec["t"] == "j":
+        return spec["v"]
+    if spec["t"] == "d":
+        return {k: _rebuild(s, blobs, pos)
+                for k, s in zip(spec["keys"], spec["items"])}
     return [_rebuild(s, blobs, pos) for s in spec["items"]]
 
 
@@ -63,6 +80,14 @@ def dump_bitstreams(bs: Dict[str, Any]) -> bytes:
         header[key] = spec
         header[key + "_count"] = len(bl)
         blobs.extend(bl)
+    # optional aux payloads (cli/codec.py file format): embedded
+    # check-level streams for standalone REM decode + JSON metadata
+    if bs.get("ckpt_streams"):
+        spec, bl = _collect(bs["ckpt_streams"])
+        header["ckpt_streams"] = spec
+        blobs.extend(bl)
+    if bs.get("meta") is not None:
+        header["meta"] = bs["meta"]
     hdr = json.dumps(header).encode()
     payload = b"".join(blobs)
     return _MAGIC + struct.pack("<I", len(hdr)) + hdr + payload
@@ -81,13 +106,16 @@ def load_bitstreams(data: bytes) -> Dict[str, Any]:
     def sizes(spec):
         if spec["t"] == "b":
             return [spec["n"]]
+        if spec["t"] == "j":
+            return []
         out = []
         for s in spec["items"]:
             out.extend(sizes(s))
         return out
 
+    aux_keys = [k for k in ("ckpt_streams",) if k in header]
     all_sizes = []
-    for key in keys:
+    for key in list(keys) + aux_keys:
         all_sizes.extend(sizes(header[key]))
     blobs, off = [], 0
     for n in all_sizes:
@@ -101,6 +129,8 @@ def load_bitstreams(data: bytes) -> Dict[str, Any]:
 
         out["prefix"] = np.asarray(header["prefix"], dtype=np.int64)
     pos = [0]
-    for key in keys:
+    for key in list(keys) + aux_keys:
         out[key] = _rebuild(header[key], blobs, pos)
+    if "meta" in header:
+        out["meta"] = header["meta"]
     return out
