@@ -168,6 +168,32 @@ def main():
     log(f"init {time.time()-t0:.1f}s on {jax.devices()[0].platform}")
 
     codec = PICCodec(model, {"params": params})
+    # REM path: when the checkpoint has trained Rate Enhancement Modules
+    # (the paper's flagship), the sweep refines the per-slice coding
+    # params from checkpoint latents — the r3 rems training stage must
+    # show up in the benched RD curve. Checkpoint latents are extracted
+    # device-only via the same forward program the rems stage trained on
+    # (training/step.py:make_ckpt_extractor) and shared encoder/decoder,
+    # the reference demo's convention (demo.py:86-93: side-info not
+    # transmitted; cli/codec.py is the transmit-it variant).
+    check_levels = list(getattr(model, "check_levels", ()) or ())
+    use_rems = bool(check_levels) and model.ns1 > model.ns0
+    if use_rems and len(check_levels) == 1:
+        from epic_tpu.training.step import make_ckpt_extractor
+
+        _ex = make_ckpt_extractor(model)
+        extract_cks = lambda x: [  # noqa: E731
+            _ex(params, x, jnp.float32(check_levels[0]))]
+    elif use_rems:
+        def extract_cks(x):
+            cks, prev = [], None
+            for cl in check_levels:
+                prev = codec.extract_checkpoint(x, float(cl),
+                                                checkpoint_rep=prev)
+                cks.append(prev)
+            return cks
+    else:
+        extract_cks = lambda x: None  # noqa: E731
     rng = np.random.default_rng(0)
     try:
         make_images = lambda n: photo_images(n)  # noqa: E731
@@ -194,11 +220,15 @@ def main():
                   for k in range(n_sweeps + 1)]
         t0 = time.time()
         x = jnp.asarray(images[0])
-        bs, _ = progressive_encode(codec, x, Q_LIST)
-        out = progressive_decode_all(codec, bs)
+        cks0 = extract_cks(x)
+        bs, _ = progressive_encode(codec, x, Q_LIST, rems=use_rems,
+                                   y_checkpoints=cks0)
+        out = progressive_decode_all(codec, bs, rems=use_rems,
+                                     y_checkpoints=cks0)
         np.asarray(per_level_psnr(out["x_hat"], x))
         np.asarray(per_level_msssim(out["x_hat"], x))
-        log(f"warmup/compile (batch={batch}) {time.time()-t0:.1f}s")
+        log(f"warmup/compile (batch={batch}, rems={use_rems}) "
+            f"{time.time()-t0:.1f}s")
 
         for c in (codec.y_coder, codec.z_coder):
             c.stats.update(encode_s=0.0, decode_s=0.0, encode_calls=0,
@@ -211,26 +241,31 @@ def main():
         t0 = time.time()
         t_start = t_finish = t_dec = 0.0
         total_bits, psnrs, bits = 0.0, None, None
-        x_prev = st_prev = None
+        x_prev = st_prev = cks_prev = last_cks = None
         for k in range(n_sweeps + 1):
             if k < n_sweeps:
                 x = jnp.asarray(images[1 + k])
                 t1 = time.time()
-                st = progressive_encode_start(codec, x, Q_LIST)
+                cks = extract_cks(x)  # device-only dispatch, async
+                st = progressive_encode_start(codec, x, Q_LIST,
+                                              rems=use_rems,
+                                              y_checkpoints=cks)
                 t_start += time.time() - t1
             if k > 0:
                 t1 = time.time()
                 bs, bits = progressive_encode_finish(codec, st_prev)
                 t_finish += time.time() - t1
                 t1 = time.time()
-                out = progressive_decode_all(codec, bs)
+                out = progressive_decode_all(codec, bs, rems=use_rems,
+                                             y_checkpoints=cks_prev)
                 jax.block_until_ready(out["x_hat"])
                 t_dec += time.time() - t1
                 psnrs = np.asarray(per_level_psnr(out["x_hat"], x_prev))
                 msssim = np.asarray(per_level_msssim(out["x_hat"], x_prev))
                 total_bits += bits[0] + bits[1] + sum(bits[2])
+                last_cks = cks_prev
             if k < n_sweeps:
-                x_prev, st_prev = x, st
+                x_prev, st_prev, cks_prev = x, st, cks
         elapsed = time.time() - t0
         rans_s = (codec.y_coder.stats["encode_s"]
                   + codec.y_coder.stats["decode_s"]
@@ -250,8 +285,12 @@ def main():
         # vs the pipelined per-sweep wall is the direct evidence that the
         # host rANS/D2H phase is hidden behind device compute.
         t1 = time.time()
-        bs_seq, _ = progressive_encode(codec, jnp.asarray(images[0]), Q_LIST)
-        out = progressive_decode_all(codec, bs_seq)
+        x0 = jnp.asarray(images[0])
+        cks_seq = extract_cks(x0)
+        bs_seq, _ = progressive_encode(codec, x0, Q_LIST, rems=use_rems,
+                                       y_checkpoints=cks_seq)
+        out = progressive_decode_all(codec, bs_seq, rems=use_rems,
+                                     y_checkpoints=cks_seq)
         jax.block_until_ready(out["x_hat"])
         seq_sweep_s = time.time() - t1
         split["sequential_img_per_s"] = round(batch / seq_sweep_s, 4)
@@ -262,15 +301,15 @@ def main():
         bpp_levels = np.cumsum(
             [bits[0] + bits[1]] + list(bits[2])) / px
         return (n_sweeps * batch / elapsed, total_bits, psnrs, msssim,
-                bpp_levels, split, n_sweeps * batch, elapsed, bs)
+                bpp_levels, split, n_sweeps * batch, elapsed, bs, last_cks)
 
     try:
         (img_per_s, total_bits, psnrs, msssim, bpp_levels, split, n_done,
-         elapsed, last_bs) = run(BATCH)
+         elapsed, last_bs, last_cks) = run(BATCH)
     except Exception as e:  # OOM or tunnel failure -> single-image path
         log(f"batch={BATCH} failed ({type(e).__name__}); retrying batch=1")
         (img_per_s, total_bits, psnrs, msssim, bpp_levels, split, n_done,
-         elapsed, last_bs) = run(1)
+         elapsed, last_bs, last_cks) = run(1)
 
     # per-level decode time: the incremental/streaming path (what a client
     # actually experiences per refinement; reference demo.py:121,153)
@@ -278,7 +317,8 @@ def main():
     cache = {}
     for lvl in range(len(Q_LIST) + 1):
         t1 = time.time()
-        out = progressive_decode(codec, last_bs, lvl, cache)
+        out = progressive_decode(codec, last_bs, lvl, cache,
+                                 rems=use_rems, y_checkpoints=last_cks)
         jax.block_until_ready(out["x_hat"])
         per_level_s.append(round(time.time() - t1, 4))
 
@@ -322,6 +362,7 @@ def main():
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 4),
         "content": content,
         "checkpoint": ckpt_name,
+        "rems": use_rems,
         "bpp_per_level": [round(float(b), 4) for b in bpp_levels],
         "psnr_per_level": [round(float(p), 2) for p in psnrs],
         "msssim_db_per_level": [
