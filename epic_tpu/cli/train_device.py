@@ -298,9 +298,27 @@ def main(argv=None):
                     print(f"non-finite loss ({nonfinite_logs}/3) — "
                           "update skipped by apply_if_finite", flush=True)
                     if nonfinite_logs >= 3:
-                        print("non-finite loss persists — aborting",
-                              flush=True)
-                        sys.exit(3)
+                        # Persistent NaN means params walked into a region
+                        # where the FORWARD is non-finite (observed: base
+                        # bpp 35 -> NaN at r3 step 10.3k), so skipping
+                        # updates cannot recover. Rewind: journal a halved
+                        # LR and exit 4; the watchdog relaunches, and the
+                        # normal resume path reloads the last checkpoint
+                        # with fresh Adam moments at the lower LR (the
+                        # noise rng sequence also differs on resume, so
+                        # the same data order need not rediverge).
+                        rewinds = progress.get("nan_rewinds", 0) + 1
+                        if rewinds > 6:
+                            print("too many NaN rewinds — giving up",
+                                  flush=True)
+                            sys.exit(3)
+                        progress.update(nan_rewinds=rewinds,
+                                        lr=max(lr * 0.5, 1e-6))
+                        save_progress()
+                        print(f"non-finite loss persists — rewind "
+                              f"{rewinds}: restoring last checkpoint, "
+                              f"lr -> {progress['lr']:.2e}", flush=True)
+                        sys.exit(4)
                 else:
                     nonfinite_logs = 0
 

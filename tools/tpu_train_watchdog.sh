@@ -45,6 +45,9 @@ for attempt in $(seq 1 $MAX_RESTARTS); do
     echo "[watchdog] non-finite loss — stopping" >> "$SAVE/run.log"
     exit 3
   fi
+  if [ "$rc" -eq 4 ]; then
+    echo "[watchdog] NaN rewind — relaunching from last checkpoint" >> "$SAVE/run.log"
+  fi
   sleep 15
 done
 echo "[watchdog] max restarts exceeded" >> "$SAVE/run.log"
