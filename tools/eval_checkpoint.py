@@ -158,6 +158,13 @@ def main(argv=None):
         adj_bpp = real_bpp - flush_bits / npix
         mse = ((x_hat - np.asarray(x)[None]) ** 2).mean(axis=(1, 2, 3, 4))
         psnr = -10 * np.log10(np.maximum(mse, 1e-12))
+        # MS-SSIM dB per level (reference reports it alongside PSNR in
+        # compress_with_ac, training/step.py:323-324; 256 crops satisfy
+        # the >=176px 5-scale constraint)
+        from epic_tpu.utils.metrics import _ms_ssim_jit
+        msssim = np.asarray(jax.vmap(
+            lambda xh: _ms_ssim_jit(xh, x))(jnp.asarray(x_hat)))
+        msssim_db = -10.0 * np.log10(np.maximum(1.0 - msssim, 1e-12))
 
         est_bpp = []
         for q in [0.0] + list(Q_LIST):
@@ -192,6 +199,7 @@ def main(argv=None):
                                    for g in gap_adj_pct],
             "max_gap_excl_flush_pct": round(float(gap_adj_pct.max()), 2),
             "psnr": [round(float(p_), 2) for p_ in psnr],
+            "msssim_db": [round(float(m_), 2) for m_ in msssim_db],
             "monotone_psnr": mono_psnr,
             "monotone_bpp": mono_bpp,
             "criteria": {
