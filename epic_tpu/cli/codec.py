@@ -149,7 +149,10 @@ def cmd_compress(args):
                 {"strings": out["strings"], "shape": list(out["shape"]),
                  "quality": float(cl),
                  "buffered": bool(out.get("buffered"))})
-            prev = out["y_hat"]
+            # quality <= 0 compresses the base layer only, which returns
+            # 'y_hat_base' instead of 'y_hat' (same selection logic as
+            # PICCodec.extract_checkpoint)
+            prev = out["y_hat"] if float(cl) > 0 else out["y_hat_base"]
             y_checkpoints.append(prev)
         bs, bits = progressive_encode(
             codec, xp, args.q_levs, rems=bool(y_checkpoints),

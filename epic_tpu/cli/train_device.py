@@ -163,6 +163,12 @@ def main(argv=None):
     beat()
 
     rng = jax.random.key(args.seed)
+    if progress.get("nan_rewinds"):
+        # a rewind that lands BEFORE the stage's first checkpoint would
+        # otherwise replay a bit-identical trajectory (same data order,
+        # quality draws and noise rng) — fold the rewind count in so the
+        # noise sequence differs even from step 0
+        rng = jax.random.fold_in(rng, int(progress["nan_rewinds"]))
 
     done_before = [s for s, _ in stages
                    if STAGE_ORDER.index(s) < STAGE_ORDER.index(
@@ -173,8 +179,8 @@ def main(argv=None):
         stage_dir = os.path.join(args.save_path, stage_name)
         if stage_name in done_before:
             continue
-        resuming_here = (stage_name == progress["stage"]
-                         and progress["next_step"] > 0)
+        stage_is_current = stage_name == progress["stage"]
+        resuming_here = stage_is_current and progress["next_step"] > 0
 
         is_rem = stage_name == "rems"
         cfg = _model_config(args, rem=is_rem)
@@ -220,14 +226,17 @@ def main(argv=None):
                           tuple(args.check_levels),
                           tuple(args.check_levels_np),
                           unfreeze_lrp=args.lrp)
-        lr = progress["lr"] if (resuming_here and progress["lr"]) else \
+        # honor a journaled LR whenever it is set for THIS stage — a NaN
+        # rewind before the first checkpoint journals a halved LR with
+        # next_step still 0, and must not relaunch at full rate
+        lr = progress["lr"] if (stage_is_current and progress["lr"]) else \
             args.learning_rate
         state = create_train_state(
             params, stage_name, lr, args.aux_learning_rate,
             args.clip_max_norm, args.lrp,
             model.multiple_decoder, model.multiple_encoder)
-        if resuming_here and progress["lr"]:
-            state = set_learning_rate(state, progress["lr"])
+        if lr != args.learning_rate:
+            state = set_learning_rate(state, lr)
         train_step = _mts(model, plan)
         eval_step = make_eval_step(model)
         valid_loss_step = make_valid_loss_step(model, plan)

@@ -29,6 +29,11 @@ def _collect(tree):
         return {"t": "l", "items": specs}, blobs
     if isinstance(tree, dict):
         keys = list(tree.keys())
+        bad = [k for k in keys if not isinstance(k, str)]
+        if bad:
+            # json.dumps would silently stringify these (1 -> '1') and the
+            # rebuilt dict would differ from what was serialized
+            raise TypeError(f"bitstream dict keys must be str, got {bad!r}")
         specs, blobs = [], []
         for k in keys:
             s, b = _collect(tree[k])

@@ -31,6 +31,7 @@ from flax import linen as nn
 from ..ops import LatentRateReduction, apply_noise_mask, variance_mask
 from ..ops.masking import prog_mask
 from ..ops.rem import lrr_apply
+from .builder import paramnet_apply
 from .pic import VarianceMaskingPIC
 
 

@@ -91,8 +91,10 @@ def rate_loss(output, target, lmbda=None, weight: float = WEIGHT):
     out = {"bpp_hype": jnp.log(lik["z"]).sum() / den}
     levels = output["x_hat"].shape[0]
     out["bpp_base"] = jnp.log(lik["y"]).sum() / den
-    out["bpp_scalable"] = out["bpp_base"]
-    out["bpp_loss"] = out["bpp_base"] + levels * out["bpp_hype"]
+    out["bpp_scalable"] = (jnp.log(lik["y_prog"]).sum() / den
+                           if "y_prog" in lik else jnp.zeros(()))
+    out["bpp_loss"] = (out["bpp_base"] + out["bpp_scalable"]
+                       + levels * out["bpp_hype"])
     out["mse_loss"] = _levels_mse(output["x_hat"], target)
     out["loss"] = out["bpp_loss"]
     return out

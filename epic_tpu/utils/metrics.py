@@ -50,6 +50,13 @@ def _filter2d(x, kernel1d):
 
 
 def _ssim_components(x, y, data_range: float = 1.0):
+    """Per-(batch, channel) spatial means of the SSIM and CS maps.
+
+    pytorch_msssim keeps ssim/cs per channel through the scale pyramid
+    (relu'd per channel, weighted product per channel, channel-averaged at
+    the END) — a whole-batch scalar mean here would let one negative mean
+    zero the product for every image at once.
+    """
     k1, k2 = 0.01, 0.03
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
@@ -61,7 +68,7 @@ def _ssim_components(x, y, data_range: float = 1.0):
     sxy = _filter2d(x * y, w) - mu_x * mu_y
     cs = (2 * sxy + c2) / (sxx + syy + c2)
     ssim = ((2 * mu_x * mu_y + c1) / (mu_x ** 2 + mu_y ** 2 + c1)) * cs
-    return ssim.mean(), cs.mean()
+    return ssim.mean(axis=(1, 2)), cs.mean(axis=(1, 2))
 
 
 def _avg_pool2(x):
@@ -71,25 +78,30 @@ def _avg_pool2(x):
 
 @jax.jit
 def _ms_ssim_jit(x, y):
+    # f32 INSIDE the jit: callers hand us bfloat16 x_hat straight from the
+    # codec, and x*x in bf16 makes E[x^2]-mu^2 cancel catastrophically
+    # (observed: BENCH_r03 msssim_db of 120/-0.0).
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
     levels = len(_MSSSIM_WEIGHTS)
     weights = jnp.asarray(_MSSSIM_WEIGHTS)
     mcs = []
-    ssim_val = jnp.float32(0)
+    ssim_val = None
     for i in range(levels):
-        ssim_val, cs = _ssim_components(x, y)
+        ssim_val, cs = _ssim_components(x, y)   # (N, C) each
         if i < levels - 1:
             mcs.append(jnp.maximum(cs, 0.0))
             x = _avg_pool2(x)
             y = _avg_pool2(y)
-    mcs_stack = jnp.stack(mcs)
-    return (jnp.prod(mcs_stack ** weights[:-1])
-            * jnp.maximum(ssim_val, 0.0) ** weights[-1])
+    mcs_stack = jnp.stack(mcs)                  # (levels-1, N, C)
+    per_ch = (jnp.prod(mcs_stack ** weights[:-1, None, None], axis=0)
+              * jnp.maximum(ssim_val, 0.0) ** weights[-1])
+    return per_ch.mean()
 
 
 def compute_msssim(a, b) -> float:
     """MS-SSIM over NHWC float images in [0,1]; needs H,W >= 176."""
-    return float(_ms_ssim_jit(jnp.asarray(a, jnp.float32),
-                              jnp.asarray(b, jnp.float32)))
+    return float(_ms_ssim_jit(jnp.asarray(a), jnp.asarray(b)))
 
 
 def msssim_db(msssim: float) -> float:

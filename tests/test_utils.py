@@ -60,6 +60,38 @@ class TestMetrics:
     def test_msssim_db(self):
         assert abs(msssim_db(0.9) - 10.0) < 1e-6
 
+    def test_msssim_bf16_input_matches_f32(self):
+        # BENCH_r03 regression: codec hands bf16 x_hat to _ms_ssim_jit
+        # directly; the jit must cast INSIDE (bf16 x*x makes the variance
+        # terms cancel and produced msssim_db of 120 / -0.0).
+        rng = np.random.default_rng(1)
+        x = rng.random((1, 192, 192, 3)).astype(np.float32)
+        y = np.clip(x + 0.05 * rng.standard_normal(x.shape,
+                                                   ).astype(np.float32), 0, 1)
+        s32 = compute_msssim(x, y)
+        s16 = compute_msssim(jnp.asarray(x, jnp.bfloat16),
+                             jnp.asarray(y, jnp.bfloat16))
+        # bf16 rounds the INPUT pixels (~3 decimal digits) but the math
+        # runs in f32, so the scores must be close and both sane
+        assert 0.0 < s16 <= 1.0
+        assert abs(s32 - s16) < 5e-3
+
+    def test_msssim_golden_known_degradations(self):
+        # golden sanity: constant-shift and noise degradations land in the
+        # ranges pytorch_msssim gives (smooth, monotone with severity)
+        rng = np.random.default_rng(2)
+        base = rng.random((1, 192, 192, 3)).astype(np.float32) * 0.6 + 0.2
+        scores = []
+        for sigma in (0.01, 0.05, 0.15):
+            y = np.clip(base + sigma * rng.standard_normal(
+                base.shape).astype(np.float32), 0, 1)
+            scores.append(compute_msssim(base, y))
+        assert scores[0] > scores[1] > scores[2] > 0.1
+        assert scores[0] > 0.98
+        # physically possible values only — never negative / above 1
+        for s in scores:
+            assert 0.0 <= s <= 1.0
+
     def test_average_meter(self):
         m = AverageMeter()
         m.update(1.0)
