@@ -194,6 +194,16 @@ class PICCodec:
         def make():
             def f(v, y_hat_base_slices, lm, ls, ckpts, mu_b, std_b):
                 model = self.model
+                if getattr(model, "scan_chains", False):
+                    # one scan body (+ n_checkpoints-1 bank applies)
+                    # instead of (ns1-ns0) x n_checkpoints unrolled module
+                    # applies — bitwise equal (tests/test_scan_chains.py)
+                    mu_s, scale_s, msups = model.apply(
+                        v, y_hat_base_slices, lm, ls, ckpts, mu_b, std_b,
+                        method=type(model)._rem_chain_params)
+                    idx = build_indexes(scale_s, self._scale_table,
+                                        model.scale_bound).astype(jnp.int8)
+                    return mu_s, scale_s, idx, tuple(msups)
                 check_levels = list(model.check_levels)
                 mus, muts, scales, msups = [], [], [], []
                 lm_e = lm[..., model.division[0]:]

@@ -203,6 +203,96 @@ class VarianceMaskingPICREM(VarianceMaskingPIC):
         return (jnp.where(skip, mus, mu_r),
                 jnp.where(skip, scales, scale_r))
 
+    def _rem_chain_params(self, y_hat_base_slices, latent_means,
+                          latent_scales, ckpts, mu_b, std_b):
+        """Chained-REM progressive params for the single-bitstream codec,
+        as ONE lax.scan over the slices (the unrolled form compiles
+        (ns1-ns0) x n_checkpoints module applies into one giant program —
+        the dominant cold-start cost with REMs on).
+
+        Reference semantics (functions_encode.py:127-148 /
+        functions_decode.py:135-151): checkpoint j refines (mu, scale)
+        with the bank selected by q=check_levels[j], conditioned on
+        checkpoint j's decoded latent; j=0 is a structural NO-OP because
+        apply_latent_enhancement returns early for
+        quality <= check_levels[0] (rem_pic.py:196-198). The support
+        chains off the REFINED scale and the unrefined mu_total (the
+        reference appends after enhancement on both sides — consistent
+        between encoder and decoder).
+
+        Returns (mus, scales, mean_supports) stacked [S,...].
+        """
+        n_ck = len(ckpts)
+        if n_ck <= 1:
+            # single checkpoint: the j=0 refinement is a no-op, so the
+            # plain quality-independent chain is bitwise identical (and
+            # already a scan)
+            mus, _, scales, msups = self._prog_param_chain(
+                y_hat_base_slices, latent_means, latent_scales)
+            return mus, scales, msups
+
+        lm_e = latent_means[..., self.division[0]:]
+        ls_e = latent_scales[..., self.division[0]:]
+        nprog = self.ns1 - self.ns0
+        n, c = self._n_slots_prog, self.dim_chunk
+        dt = None if self.compute_dtype == "float32" else \
+            jnp.dtype(self.compute_dtype)
+        ck, cb = self.cc_mean_prog.stacked()
+        sk, sb = self.cc_scale_prog.stacked()
+        base_s = (y_hat_base_slices
+                  if isinstance(y_hat_base_slices, jnp.ndarray)
+                  else jnp.stack(list(y_hat_base_slices)))[:nprog]
+        ckpt_s = jnp.stack([self._blocked(jnp.asarray(ckpt), 0, nprog)
+                            for ckpt in ckpts], axis=1)  # [S,n_ck,B,h,w,c]
+        mu_b_s = (mu_b if isinstance(mu_b, jnp.ndarray)
+                  else jnp.stack(list(mu_b)))[:nprog]
+        std_b_s = (std_b if isinstance(std_b, jnp.ndarray)
+                   else jnp.stack(list(std_b)))[:nprog]
+        check_levels = list(self.check_levels)
+        shp = base_s.shape[1:]
+        buf0 = (jnp.zeros((max(n, 1),) + shp, jnp.float32),
+                jnp.zeros((max(n, 1),) + shp, jnp.float32))
+
+        def body(carry, xs):
+            mut_buf, std_buf = carry
+            i, base_i, ckpt_i, mu_b_i, std_b_i = xs
+            sup_mu = jnp.moveaxis(mut_buf[:n], 0, 3).reshape(
+                base_i.shape[:-1] + (n * c,))
+            sup_std = jnp.moveaxis(std_buf[:n], 0, 3).reshape(
+                base_i.shape[:-1] + (n * c,))
+            mean_support = jnp.concatenate([lm_e, base_i, sup_mu], axis=-1)
+            scale_support = jnp.concatenate([ls_e, base_i, sup_std],
+                                            axis=-1)
+            mu = paramnet_apply(ck, cb, mean_support, i, dt)
+            mut = mu + base_i if self.total_mu_rep else mu
+            scale = paramnet_apply(sk, sb, scale_support, i, dt)
+            params_base = jnp.concatenate([mu_b_i, std_b_i], axis=-1)
+            for j in range(1, n_ck):  # j=0: no-op (see docstring)
+                q_j = float(check_levels[j])
+                att = apply_noise_mask(
+                    variance_mask(scale, q_j, self.mask_policy), False)
+                if self.mu_std:
+                    att = jnp.concatenate([att, att], axis=-1)
+                params_prog = (jnp.concatenate([mu, scale], axis=-1)
+                               if self.mu_std else scale)
+                bank = self._rem_bank_index(q_j)
+                out = self._bank_slice_apply(bank, i, ckpt_i[j],
+                                             params_base, params_prog, att)
+                if self.mu_std:
+                    mu, scale = jnp.split(out, 2, axis=-1)
+                else:
+                    scale = out
+            if n > 0:
+                mut_buf = jnp.concatenate([mut_buf[1:], mut[None]], axis=0)
+                std_buf = jnp.concatenate([std_buf[1:], scale[None]],
+                                          axis=0)
+            return (mut_buf, std_buf), (mu, scale, mean_support)
+
+        idx = jnp.arange(nprog, dtype=jnp.int32)
+        _, (mus, scales, msups) = jax.lax.scan(
+            body, buf0, (idx, base_s, ckpt_s, mu_b_s, std_b_s))
+        return mus, scales, msups
+
     # REM forward is single-quality (reference overrides forward with the
     # single-quality signature, rem_pic.py:226-229)
     def __call__(self, x, quality=0.0, training: bool = True,
