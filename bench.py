@@ -45,7 +45,8 @@ TEASER = "/root/reference/imgs/teaser.png"
 _ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 # prefer the paper-config (N=192/M=640) checkpoint when committed — that
 # is the workload BASELINE.md's 10x-CPU target was defined on
-_CANDIDATES = [os.path.join(_ART, "ckpt_r3_flagship"),
+_CANDIDATES = [os.path.join(_ART, "ckpt_r4_flagship"),
+               os.path.join(_ART, "ckpt_r3_flagship"),
                os.path.join(_ART, "ckpt_r2_flagship"),
                os.path.join(_ART, "ckpt_r2")]
 DEFAULT_CKPT = next((c for c in _CANDIDATES
@@ -76,7 +77,9 @@ def photo_images(n):
     d0 = im[dy0:dy1, dx0:dx1]
     crops.append(np.asarray(
         Image.fromarray(d0).resize((768, 512), Image.LANCZOS)))
-    out = [c.astype(np.float32) / 255.0 for c in crops]
+    # uint8 — uploaded as 1 byte/px and normalized ON DEVICE (the axon
+    # tunnel moves ~MB/s; a float32 768x512 batch-4 upload alone is 19MB)
+    out = [np.ascontiguousarray(c, np.uint8) for c in crops]
     return [out[i % len(out)] for i in range(n)]
 
 
@@ -91,8 +94,8 @@ def synth_images(n, rng):
             0.5 + 0.4 * np.cos(xx / 23 + yy / (37 + 3 * i)),
             (xx + yy) / 1280.0,
         ], -1)
-        out.append(np.clip(base + rng.normal(0, 0.05, base.shape),
-                           0, 1).astype(np.float32))
+        f = np.clip(base + rng.normal(0, 0.05, base.shape), 0, 1)
+        out.append(np.round(f * 255.0).astype(np.uint8))
     return out
 
 
@@ -225,6 +228,12 @@ def main():
         content = "synthetic"
 
     @jax.jit
+    def to_f32(u8):
+        # device-side normalization: identical IEEE f32 result to the
+        # host's c.astype(np.float32)/255.0, at 1/4 the tunnel bytes
+        return u8.astype(jnp.float32) / 255.0
+
+    @jax.jit
     def per_level_psnr(x_hat, x):
         mse = jnp.mean((x_hat - x[None]) ** 2, axis=(2, 3, 4)).mean(axis=1)
         return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
@@ -239,7 +248,7 @@ def main():
         images = [np.stack(pool[k * batch:(k + 1) * batch])
                   for k in range(n_sweeps + 1)]
         t0 = time.time()
-        x = jnp.asarray(images[0])
+        x = to_f32(jnp.asarray(images[0]))
         cks0 = extract_cks(x)
         bs, _ = progressive_encode(codec, x, Q_LIST, rems=use_rems,
                                    y_checkpoints=cks0)
@@ -260,15 +269,21 @@ def main():
         # async, encode_finish is pure host work + ready fetches) — the
         # double-buffer overlap of VERDICT r2 item 2. Decode programs for
         # batch k queue behind encode k+1's, keeping the chip busy.
+        # Pipelined loop, fully async on the device side: encode(k+1)
+        # programs enqueue while the host entropy-codes batch k; decode(k)
+        # programs queue behind them; PSNR/MS-SSIM are computed ON DEVICE
+        # from the device-resident x_hat, so only 2x17 floats cross per
+        # sweep and the loop NEVER blocks on a reconstruction (the r3
+        # overlap killer was jax.block_until_ready(x_hat) every sweep).
         t0 = time.time()
         t_start = t_finish = t_dec = 0.0
         total_bits, bits = 0.0, None
-        psnr_sweeps, msssim_sweeps, bpp_sweeps = [], [], []
+        pending, bpp_sweeps = [], []
         px = batch * 512 * 768
         x_prev = st_prev = cks_prev = last_cks = None
         for k in range(n_sweeps + 1):
             if k < n_sweeps:
-                x = jnp.asarray(images[1 + k])
+                x = to_f32(jnp.asarray(images[1 + k]))
                 t1 = time.time()
                 cks = extract_cks(x)  # device-only dispatch, async
                 st = progressive_encode_start(codec, x, Q_LIST,
@@ -282,23 +297,21 @@ def main():
                 t1 = time.time()
                 out = progressive_decode_all(codec, bs, rems=use_rems,
                                              y_checkpoints=cks_prev)
-                jax.block_until_ready(out["x_hat"])
+                pending.append((per_level_psnr(out["x_hat"], x_prev),
+                                per_level_msssim(out["x_hat"], x_prev)))
                 t_dec += time.time() - t1
-                psnr_sweeps.append(
-                    np.asarray(per_level_psnr(out["x_hat"], x_prev)))
-                msssim_sweeps.append(
-                    np.asarray(per_level_msssim(out["x_hat"], x_prev)))
                 bpp_sweeps.append(np.cumsum(
                     [bits[0] + bits[1]] + list(bits[2])) / px)
                 total_bits += bits[0] + bits[1] + sum(bits[2])
                 last_cks = cks_prev
             if k < n_sweeps:
                 x_prev, st_prev, cks_prev = x, st, cks
+        jax.block_until_ready([p for pm in pending for p in pm])
         elapsed = time.time() - t0
         # metrics averaged over EVERY pipelined sweep (VERDICT r3 weak #6:
         # last-sweep-only reporting silently capped the sample)
-        psnrs = np.mean(psnr_sweeps, axis=0)
-        msssim = np.mean(msssim_sweeps, axis=0)
+        psnrs = np.mean([np.asarray(p) for p, _ in pending], axis=0)
+        msssim = np.mean([np.asarray(m) for _, m in pending], axis=0)
         bpp_levels = np.mean(bpp_sweeps, axis=0)
         rans_s = (codec.y_coder.stats["encode_s"]
                   + codec.y_coder.stats["decode_s"]
@@ -310,7 +323,10 @@ def main():
                      + codec.z_coder.stats["decode_syms"])
         split = {"encode_start_s": round(t_start, 3),
                  "encode_finish_s": round(t_finish, 3),
-                 "decode_all_s": round(t_dec, 3),
+                 # host-side wall of the decode stage (rANS decode + H2D +
+                 # program dispatch; device completion is NOT awaited here
+                 # — the end-of-loop barrier accounts for it in `elapsed`)
+                 "decode_host_dispatch_s": round(t_dec, 3),
                  "host_rans_s": round(rans_s, 3),
                  "host_rans_msyms": round(rans_syms / 1e6, 2),
                  "pipelined": True}
@@ -318,7 +334,7 @@ def main():
         # vs the pipelined per-sweep wall is the direct evidence that the
         # host rANS/D2H phase is hidden behind device compute.
         t1 = time.time()
-        x0 = jnp.asarray(images[0])
+        x0 = to_f32(jnp.asarray(images[0]))
         cks_seq = extract_cks(x0)
         bs_seq, _ = progressive_encode(codec, x0, Q_LIST, rems=use_rems,
                                        y_checkpoints=cks_seq)

@@ -119,12 +119,38 @@ class PICCodec:
         def make():
             def f(y_i, mu):
                 sym = jnp.round(y_i - mu)
-                # int16 + overflow flag: symbols exceed +/-32k only in
-                # pathological cases; the caller re-fetches int32 then
-                flag = (jnp.abs(sym) > 32000).any()
-                return sym.astype(jnp.int16), sym.astype(jnp.int32), flag
+                # int8 + widening flags: the tunnel D2H runs at ~MB/s, so
+                # symbols cross as 1 byte when they fit (they almost
+                # always do for a trained codec); flag8 widens the fetch
+                # to int16, flag16 to int32 (pathological only)
+                flag8 = (jnp.abs(sym) > 127).any()
+                flag16 = (jnp.abs(sym) > 32000).any()
+                return (sym.astype(jnp.int8), sym.astype(jnp.int16),
+                        sym.astype(jnp.int32), flag8, flag16)
             return f
         return self._prog("base_sym", make)
+
+    def _p_base_step(self):
+        """Decoder base-chain step: finish slice i (dequant + LRP +
+        support-buffer update) AND produce slice i+1's entropy params +
+        CDF indexes in ONE dispatch. The interleaved decode chain is
+        latency-bound on the tunnel (dispatch + blocking idx fetch per
+        slice); fusing halves the program round trips — the level-0
+        incremental-decode outlier of BENCH_r03 (VERDICT r3 weak #4)."""
+        def make():
+            def f(v, sym, mu, msup, buf, i, lm_b, ls_b):
+                y_hat = sym.astype(jnp.float32) + mu
+                y_hat, buf = self.model.apply(
+                    v, y_hat, msup, buf, i,
+                    method=VarianceMaskingPIC.finish_base_slice_dyn)
+                mu2, scale2, msup2 = self.model.apply(
+                    v, lm_b, ls_b, buf, i + 1,
+                    method=VarianceMaskingPIC.base_slice_params_dyn)
+                idx2 = build_indexes(scale2, self._scale_table,
+                                     self.model.scale_bound).astype(jnp.int8)
+                return y_hat, buf, mu2, scale2, idx2, msup2
+            return f
+        return self._prog("base_step_dyn", make)
 
     def _p_base_finish(self):
         def make():
@@ -243,17 +269,46 @@ class PICCodec:
                     r.append(r_i)
                 r = jnp.stack(r)
                 sym = jnp.round((r - mu_s) * mask)
-                flag = (jnp.abs(sym) > 32000).any()
-                return sym.astype(jnp.int16), sym.astype(jnp.int32), flag
+                flag8 = (jnp.abs(sym) > 127).any()
+                flag16 = (jnp.abs(sym) > 32000).any()
+                return (sym.astype(jnp.int8), sym.astype(jnp.int16),
+                        sym.astype(jnp.int32), flag8, flag16)
             return f
         return self._prog("prog_sym", make)
 
-    def _get_sym(self, sym16, sym32, flag) -> np.ndarray:
-        """Fetch symbols over the slow tunnel as int16 unless they overflow
-        (then one int32 re-fetch)."""
-        if bool(jax.device_get(flag)):
+    def _get_sym(self, sym8, sym16, sym32, flag8, flag16) -> np.ndarray:
+        """Fetch symbols over the slow tunnel at the narrowest width that
+        holds them (int8 in practice; int16/int32 on the widening flags)."""
+        f8, f16 = jax.device_get((flag8, flag16))
+        if bool(f16):
             return np.asarray(jax.device_get(sym32), np.int32)
-        return np.asarray(jax.device_get(sym16)).astype(np.int32)
+        if bool(f8):
+            return np.asarray(jax.device_get(sym16)).astype(np.int32)
+        return np.asarray(jax.device_get(sym8)).astype(np.int32)
+
+    def _p_widen(self):
+        """Exact int->int32 widening as its own tiny device program, so
+        narrow H2D uploads NEVER change the dtype signature of the shared
+        enc/dec programs (a different input dtype would compile a
+        different program instance, and different XLA fusion could drift
+        entropy parameters by ulps — silent bitstream desync)."""
+        def make():
+            def f(s):
+                return s.astype(jnp.int32)
+            return f
+        return self._prog("widen_i32", make)
+
+    def _h2d_sym(self, sym: np.ndarray) -> jnp.ndarray:
+        """Upload decoded symbols at the narrowest safe width (the tunnel
+        H2D is as slow as D2H; int8 cuts the decoder's biggest upload 4x),
+        then widen to int32 ON DEVICE so downstream programs see exactly
+        the encoder-side dtypes (see _p_widen)."""
+        m = np.abs(sym).max(initial=0)
+        if m <= 127:
+            return self._p_widen()(jnp.asarray(sym.astype(np.int8)))
+        if m <= 32000:
+            return self._p_widen()(jnp.asarray(sym.astype(np.int16)))
+        return jnp.asarray(sym)
 
     def _p_prog_reconstruct_all(self, n_levels: int):
         """Reconstruct ALL quality levels of a progressive stream in one
@@ -335,8 +390,10 @@ class PICCodec:
                 if self.model.delta_encode:
                     r_i = r_i - y[..., i * c:(i + 1) * c]
                 sym = jnp.round((r_i - mu) * mask)
-                flag = (jnp.abs(sym) > 32000).any()
-                return sym.astype(jnp.int16), sym.astype(jnp.int32), flag
+                flag8 = (jnp.abs(sym) > 127).any()
+                flag16 = (jnp.abs(sym) > 32000).any()
+                return (sym.astype(jnp.int8), sym.astype(jnp.int16),
+                        sym.astype(jnp.int32), flag8, flag16)
             return f
         return self._prog(("ns_prog_sym", i), make)
 
@@ -457,31 +514,38 @@ class PICCodec:
         y_strings: List[List[bytes]] = []
         y_hat_slices: List[jnp.ndarray] = []
         mus_b, scales_b = [], []
-        sym16_host, sym32_host, flags, idx_host = [], [], [], []
+        s8s, s16s, s32s, flags8, flags16, idx_host = [], [], [], [], [], []
         c = self.model.dim_chunk
+        ns0 = self.model.ns0
         buf = self._base_buf0(lm_b)
-        for i in range(self.model.ns0):
-            mu, scale, idx, msup = self._p_base_params()(
-                v, lm_b, ls_b, buf, np.int32(i))
+        # the SAME fused step program the decoder runs (finish(i) +
+        # params(i+1) in one dispatch) — identical program instances on
+        # both sides keep the entropy params bitwise equal by construction
+        mu, scale, idx, msup = self._p_base_params()(
+            v, lm_b, ls_b, buf, np.int32(0))
+        for i in range(ns0):
             y_i = y[..., i * c:(i + 1) * c]
-            sym16, sym32, flag = self._p_base_sym()(y_i, mu)
-            y_hat, buf = self._p_base_finish()(v, sym32, mu, msup, buf,
-                                               np.int32(i))
-            y_hat_slices.append(y_hat)
+            s8, s16, s32, fl8, fl16 = self._p_base_sym()(y_i, mu)
             mus_b.append(mu)
             scales_b.append(scale)
-            sym16_host.append(sym16)
-            sym32_host.append(sym32)
-            flags.append(flag)
             idx_host.append(idx)
-        # one compact transfer for all slices' symbols+indexes (int16/int8;
-        # tunnel D2H is the bottleneck), int32 fallback on overflow
-        if bool(jax.device_get(jnp.stack(flags).any())):
-            sym_np = np.asarray(
-                jax.device_get(jnp.stack(sym32_host)), np.int32)
-        else:
-            sym_np = np.asarray(
-                jax.device_get(jnp.stack(sym16_host))).astype(np.int32)
+            if i + 1 < ns0:
+                y_hat, buf, mu, scale, idx, msup = self._p_base_step()(
+                    v, s32, mu, msup, buf, np.int32(i), lm_b, ls_b)
+            else:
+                y_hat, buf = self._p_base_finish()(v, s32, mu, msup, buf,
+                                                   np.int32(i))
+            y_hat_slices.append(y_hat)
+            s8s.append(s8)
+            s16s.append(s16)
+            s32s.append(s32)
+            flags8.append(fl8)
+            flags16.append(fl16)
+        # one compact transfer for all slices' symbols+indexes (int8/int8;
+        # tunnel D2H is the bottleneck), int16/int32 fallback on overflow
+        sym_np = self._get_sym(jnp.stack(s8s), jnp.stack(s16s),
+                               jnp.stack(s32s), jnp.stack(flags8).any(),
+                               jnp.stack(flags16).any())
         idx_np = np.asarray(jax.device_get(jnp.stack(idx_host))).astype(
             np.int32)
         if raw_base and quality <= 0:
@@ -533,15 +597,15 @@ class PICCodec:
         else:
             mu_s, scale_s, mask, idx, msups = self._p_prog_params(
                 float(quality))(v, tuple(y_hat_slices), lm, ls)
-        sym16, sym32, flag = self._p_prog_sym()(y, mu_s, mask)
-        sym_np = self._get_sym(sym16, sym32, flag)
+        s8, s16, s32, fl8, fl16 = self._p_prog_sym()(y, mu_s, mask)
+        sym_np = self._get_sym(s8, s16, s32, fl8, fl16)
         idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
         for i in range(self.model.ns1 - self.model.ns0):
             y_strings.append(self._encode_slice(sym_np[i], idx_np[i]))
 
         if return_latents:
             x_hat, y_prog = self._p_prog_reconstruct()(
-                v, sym32, mu_s, msups, tuple(y_hat_slices))
+                v, s32, mu_s, msups, tuple(y_hat_slices))
             out["y_hat"] = y_prog
         return out
 
@@ -558,7 +622,7 @@ class PICCodec:
         with_ckpt = checkpoint_rep is not None
         ckpt = jnp.asarray(checkpoint_rep) if with_ckpt else None
         prog_slices: List[jnp.ndarray] = []
-        sym16s, sym32s, flags, idxs = [], [], [], []
+        s8s, s16s, s32s, flags8, flags16, idxs = [], [], [], [], [], []
         for i in range(self.model.ns1 - self.model.ns0):
             if with_ckpt:
                 mu, scale, mask, idx, msup = self._p_ns_prog_params(
@@ -569,19 +633,19 @@ class PICCodec:
                 mu, scale, mask, idx, msup = self._p_ns_prog_params(
                     i, quality)(v, lm, ls, y_hat_slices[i],
                                 tuple(prog_slices))
-            sym16, sym32, flag = self._p_ns_prog_sym(i)(y, mu, mask)
-            y_hat = self._p_ns_prog_finish(i)(v, sym32, mu, msup,
+            s8, s16, s32, fl8, fl16 = self._p_ns_prog_sym(i)(y, mu, mask)
+            y_hat = self._p_ns_prog_finish(i)(v, s32, mu, msup,
                                               y_hat_slices[i])
             prog_slices.append(y_hat)
-            sym16s.append(sym16)
-            sym32s.append(sym32)
-            flags.append(flag)
+            s8s.append(s8)
+            s16s.append(s16)
+            s32s.append(s32)
+            flags8.append(fl8)
+            flags16.append(fl16)
             idxs.append(idx)
-        if bool(jax.device_get(jnp.stack(flags).any())):
-            sym_np = np.asarray(jax.device_get(jnp.stack(sym32s)), np.int32)
-        else:
-            sym_np = np.asarray(
-                jax.device_get(jnp.stack(sym16s))).astype(np.int32)
+        sym_np = self._get_sym(jnp.stack(s8s), jnp.stack(s16s),
+                               jnp.stack(s32s), jnp.stack(flags8).any(),
+                               jnp.stack(flags16).any())
         idx_np = np.asarray(jax.device_get(jnp.stack(idxs))).astype(np.int32)
         for i in range(self.model.ns1 - self.model.ns0):
             out["strings"][0].append(self._encode_slice(sym_np[i],
@@ -615,7 +679,7 @@ class PICCodec:
                                 tuple(prog_slices))
             idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
             sym = self._decode_slice(y_strings[ns0 + i], idx_np)
-            y_hat = self._p_ns_prog_finish(i)(v, jnp.asarray(sym), mu,
+            y_hat = self._p_ns_prog_finish(i)(v, self._h2d_sym(sym), mu,
                                               msup, y_hat_slices[i])
             prog_slices.append(y_hat)
         x_hat, y_prog = self._p_synth_prog()(v, tuple(prog_slices))
@@ -661,9 +725,10 @@ class PICCodec:
         y_hat_slices: List[jnp.ndarray] = []
         mus_b, scales_b = [], []
         buf = self._base_buf0(lm_b)
-        for i in range(self.model.ns0):
-            mu, scale, idx, msup = self._p_base_params()(
-                v, lm_b, ls_b, buf, np.int32(i))
+        ns0 = self.model.ns0
+        mu, scale, idx, msup = self._p_base_params()(
+            v, lm_b, ls_b, buf, np.int32(0))
+        for i in range(ns0):
             idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
             if buffered:
                 nb = idx_np.shape[0]
@@ -672,11 +737,18 @@ class PICCodec:
                     streams, idx_np, [per] * nb).reshape(idx_np.shape)
             else:
                 sym = self._decode_slice(y_strings[i], idx_np)
-            y_hat, buf = self._p_base_finish()(v, jnp.asarray(sym), mu,
-                                               msup, buf, np.int32(i))
-            y_hat_slices.append(y_hat)
             mus_b.append(mu)
             scales_b.append(scale)
+            if i + 1 < ns0:
+                # fused finish(i) + params(i+1): one dispatch per slice
+                y_hat, buf, mu, scale, idx, msup = self._p_base_step()(
+                    v, self._h2d_sym(sym), mu, msup, buf, np.int32(i),
+                    lm_b, ls_b)
+                idx.copy_to_host_async()
+            else:
+                y_hat, buf = self._p_base_finish()(
+                    v, self._h2d_sym(sym), mu, msup, buf, np.int32(i))
+            y_hat_slices.append(y_hat)
         if streams:
             for s in streams:
                 s.close()
@@ -704,7 +776,7 @@ class PICCodec:
             self._decode_slice(y_strings[ns0 + i], idx_np[i])
             for i in range(self.model.ns1 - ns0)
         ]
-        sym_s = jnp.asarray(np.stack(sym_list))
+        sym_s = self._h2d_sym(np.stack(sym_list))
         x_hat, y_prog = self._p_prog_reconstruct()(
             v, sym_s, mu_s, msups, tuple(y_hat_slices))
         return {"x_hat": x_hat, "y_hat": y_prog}

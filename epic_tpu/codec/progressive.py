@@ -116,29 +116,40 @@ def progressive_encode_start(codec: PICCodec, x,
     lm_b = lm[..., :model.division[0]]
     ls_b = ls[..., :model.division[0]]
 
-    # base chain: device-only on the encoder side (it knows all symbols)
+    # base chain: device-only on the encoder side (it knows all symbols),
+    # via the SAME fused step program the decoder runs — identical
+    # program instances keep entropy params bitwise equal by construction
     buf = codec._base_buf0(lm_b)
     y_hat_slices: List[jnp.ndarray] = []
     mus_b, scales_b = [], []
-    s16s, s32s, flags, idxs = [], [], [], []
-    for i in range(model.ns0):
-        mu, scale, idx, msup = codec._p_base_params()(
-            v, lm_b, ls_b, buf, np.int32(i))
+    s8s, s16s, s32s, flags8, flags16, idxs = [], [], [], [], [], []
+    ns0 = model.ns0
+    mu, scale, idx, msup = codec._p_base_params()(
+        v, lm_b, ls_b, buf, np.int32(0))
+    for i in range(ns0):
         y_i = y[..., i * c:(i + 1) * c]
-        s16, s32, fl = codec._p_base_sym()(y_i, mu)
-        y_hat, buf = codec._p_base_finish()(v, s32, mu, msup, buf,
-                                            np.int32(i))
-        y_hat_slices.append(y_hat)
+        s8, s16, s32, fl8, fl16 = codec._p_base_sym()(y_i, mu)
         mus_b.append(mu)
         scales_b.append(scale)
+        idxs.append(idx)
+        if i + 1 < ns0:
+            y_hat, buf, mu, scale, idx, msup = codec._p_base_step()(
+                v, s32, mu, msup, buf, np.int32(i), lm_b, ls_b)
+        else:
+            y_hat, buf = codec._p_base_finish()(v, s32, mu, msup, buf,
+                                                np.int32(i))
+        y_hat_slices.append(y_hat)
+        s8s.append(s8)
         s16s.append(s16)
         s32s.append(s32)
-        flags.append(fl)
-        idxs.append(idx)
+        flags8.append(fl8)
+        flags16.append(fl16)
+    base_s8 = jnp.stack(s8s)
     base_s16 = jnp.stack(s16s)
     base_s32 = jnp.stack(s32s)
     base_idx = jnp.stack(idxs)
-    base_flag = jnp.stack(flags).any()
+    base_flag8 = jnp.stack(flags8).any()
+    base_flag16 = jnp.stack(flags16).any()
 
     if rems and y_checkpoints:
         mu_s, scale_s, idx_full, msups = codec._p_prog_params_rem_chain(
@@ -150,17 +161,22 @@ def progressive_encode_start(codec: PICCodec, x,
     else:
         mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(10.0)(
             v, tuple(y_hat_slices), lm, ls)
-    p16, p32, pflag = codec._p_prog_sym()(y, mu_s, mask1)
+    p8, p16, p32, pflag8, pflag16 = codec._p_prog_sym()(y, mu_s, mask1)
     sid = _p_shell_ids(codec, tuple(q_list))(scale_s)
 
-    for a in (z_sym_dev, base_s16, base_idx, base_flag, p16, idx_full,
-              sid, pflag):
+    # async-copy the int8 buffers (the widths actually fetched in
+    # practice); the widening fallbacks transfer only on their flags
+    for a in (z_sym_dev, base_s8, base_idx, base_flag8, base_flag16,
+              p8, pflag8, pflag16, idx_full, sid):
         a.copy_to_host_async()
     return {
         "q_list": q_list,
-        "z_sym": z_sym_dev, "base_s16": base_s16, "base_s32": base_s32,
-        "base_idx": base_idx, "base_flag": base_flag,
-        "p16": p16, "p32": p32, "pflag": pflag,
+        "z_sym": z_sym_dev,
+        "base_s8": base_s8, "base_s16": base_s16, "base_s32": base_s32,
+        "base_idx": base_idx,
+        "base_flag8": base_flag8, "base_flag16": base_flag16,
+        "p8": p8, "p16": p16, "p32": p32,
+        "pflag8": pflag8, "pflag16": pflag16,
         "idx_full": idx_full, "sid": sid,
         # device handles for callers reusing the encoder's work
         "y": y, "lm": lm, "ls": ls, "base_slices": tuple(y_hat_slices),
@@ -180,13 +196,12 @@ def progressive_encode_finish(codec: PICCodec,
     z_strings = codec._encode_z(z_sym)
     z_shape = z_sym.shape[1:3]
 
-    if bool(jax.device_get(st["base_flag"])):
-        base_sym = np.asarray(jax.device_get(st["base_s32"]), np.int32)
-    else:
-        base_sym = np.asarray(
-            jax.device_get(st["base_s16"])).astype(np.int32)
+    base_sym = codec._get_sym(st["base_s8"], st["base_s16"],
+                              st["base_s32"], st["base_flag8"],
+                              st["base_flag16"])
     base_idx = np.asarray(jax.device_get(st["base_idx"])).astype(np.int32)
-    sym_np = codec._get_sym(st["p16"], st["p32"], st["pflag"])
+    sym_np = codec._get_sym(st["p8"], st["p16"], st["p32"],
+                            st["pflag8"], st["pflag16"])
     idx_np = np.asarray(jax.device_get(st["idx_full"])).astype(np.int32)
     sid_np = np.asarray(jax.device_get(st["sid"]))
 
@@ -292,11 +307,11 @@ def progressive_encode(codec: PICCodec, x,
     else:
         mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(10.0)(
             v, base_slices, lm, ls)
-    sym16, sym32, flag = codec._p_prog_sym()(y, mu_s, mask1)
+    s8, s16, s32, fl8, fl16 = codec._p_prog_sym()(y, mu_s, mask1)
 
     sid = _p_shell_ids(codec, tuple(q_list))(scale_s)
 
-    sym_np = codec._get_sym(sym16, sym32, flag)        # [S,B,h,w,c]
+    sym_np = codec._get_sym(s8, s16, s32, fl8, fl16)   # [S,B,h,w,c]
     idx_np = np.asarray(jax.device_get(idx_full)).astype(np.int32)
     sid_np = np.asarray(jax.device_get(sid))           # int8, Qx smaller
 
@@ -377,9 +392,10 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
         y_hat_slices: List[jnp.ndarray] = []
         mu_b, std_b = [], []
         buf = codec._base_buf0(lm_b)
-        for i in range(codec.model.ns0):
-            mu, scale, idx, msup = codec._p_base_params()(
-                v, lm_b, ls_b, buf, np.int32(i))
+        ns0 = codec.model.ns0
+        mu, scale, idx, msup = codec._p_base_params()(
+            v, lm_b, ls_b, buf, np.int32(0))
+        for i in range(ns0):
             idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
             if stream:
                 nb = idx_np.shape[0]
@@ -389,11 +405,18 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
                         idx_np.shape)
             else:
                 sym = codec._decode_slice(bitstreams["base"][i], idx_np)
-            y_hat, buf = codec._p_base_finish()(v, jnp.asarray(sym), mu,
-                                                msup, buf, np.int32(i))
-            y_hat_slices.append(y_hat)
             mu_b.append(mu)
             std_b.append(scale)
+            if i + 1 < ns0:
+                # fused finish(i) + params(i+1): one dispatch per slice
+                y_hat, buf, mu, scale, idx, msup = codec._p_base_step()(
+                    v, codec._h2d_sym(sym), mu, msup, buf, np.int32(i),
+                    lm_b, ls_b)
+                idx.copy_to_host_async()
+            else:
+                y_hat, buf = codec._p_base_finish()(
+                    v, codec._h2d_sym(sym), mu, msup, buf, np.int32(i))
+            y_hat_slices.append(y_hat)
         cache["base"] = tuple(y_hat_slices)
         cache["base_params"] = (tuple(mu_b), tuple(std_b))
     base_slices = cache["base"]
@@ -415,6 +438,8 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
             mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(
                 10.0)(v, base_slices, lm, ls)
         sid = _p_shell_ids(codec, tuple(q_list))(scale_s)
+        idx_full.copy_to_host_async()
+        sid.copy_to_host_async()
         cache["entropy"] = (
             mu_s, msups,
             np.asarray(jax.device_get(idx_full)).astype(np.int32),
@@ -431,13 +456,26 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
         order, starts = _shell_order(sid_np, nq)
         cache["pack"] = (order, starts,
                          _sort_flat(idx_np, order))
-        cache["canvas_flat"] = np.zeros(order.shape, np.int32)
-        cache["canvas"] = np.zeros(idx_np.shape, np.int32)
+        # int8 canvas: quarters the decoder's biggest H2D upload over the
+        # tunnel; promoted to int16/int32 if out-of-range symbols arrive
+        cache["canvas_flat"] = np.zeros(order.shape, np.int8)
+        cache["canvas"] = np.zeros(idx_np.shape, np.int8)
     order, starts, idx_sorted = cache["pack"]
     b = idx_np.shape[1]
     j0 = cache["decoded_upto"]
     if q_ind > j0:
         flat = cache["canvas_flat"]
+
+        def _widen_if_needed(sym):
+            nonlocal flat
+            m = np.abs(sym).max() if sym.size else 0
+            if m > 127 and flat.dtype == np.int8:
+                flat = cache["canvas_flat"] = flat.astype(
+                    np.int16 if m <= 32000 else np.int32)
+            if m > 32000 and flat.dtype == np.int16:
+                flat = cache["canvas_flat"] = flat.astype(np.int32)
+            return sym
+
         if stream:
             # continue every image's stateful decoder through shells
             # [j0, q_ind) in ONE threaded C call (the rANS states already
@@ -447,9 +485,9 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
             seg_idx = np.concatenate(
                 [idx_sorted[bi, s0:s1] for bi, (s0, s1) in enumerate(spans)]
             ) if spans else np.zeros(0, np.int32)
-            sym = codec.y_coder.decode_streams(
+            sym = _widen_if_needed(codec.y_coder.decode_streams(
                 cache["streams"], seg_idx,
-                [s1 - s0 for s0, s1 in spans])
+                [s1 - s0 for s0, s1 in spans]))
             off = 0
             for bi, (s0, s1) in enumerate(spans):
                 flat[bi, order[bi, s0:s1]] = sym[off:off + (s1 - s0)]
@@ -465,9 +503,9 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
                         seg_len.append(s1 - s0)
                         pos.append((bi, s0, s1))
             if seg_len:
-                sym = codec.y_coder.decode_batch(
+                sym = _widen_if_needed(codec.y_coder.decode_batch(
                     datas, np.ascontiguousarray(np.concatenate(seg_idx)),
-                    seg_len)
+                    seg_len))
                 # scatter only the NEW segments into the unsorted flat grid
                 # (undecoded elements stay 0 -> reconstruct to the
                 # predicted mean, as before)
@@ -481,8 +519,11 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
         cache["decoded_upto"] = q_ind
     canvas = cache["canvas"]
 
+    canvas_dev = jnp.asarray(canvas)
+    if canvas_dev.dtype != jnp.int32:  # widen on device (see _p_widen)
+        canvas_dev = codec._p_widen()(canvas_dev)
     x_hat, y_prog = codec._p_prog_reconstruct()(
-        v, jnp.asarray(canvas), mu_s, msups, base_slices)
+        v, canvas_dev, mu_s, msups, base_slices)
     return {"x_hat": x_hat, "y_hat": y_prog, "cache": cache,
             "decode_time": time.time() - t0}
 
@@ -510,6 +551,8 @@ def progressive_decode_all(codec: PICCodec, bitstreams: Dict[str, Any],
     x_base, _ = codec._p_synth_base()(v, base_slices)
 
     sym_s = jnp.asarray(cache["canvas"])
+    if sym_s.dtype != jnp.int32:  # widen on device (see _p_widen)
+        sym_s = codec._p_widen()(sym_s)
     x_prog, y_prog = codec._p_prog_reconstruct_all(nq)(
         v, sym_s, jnp.asarray(sid_np), mu_s, msups, base_slices)
     x_hat = jnp.concatenate([x_base[None], x_prog], axis=0)

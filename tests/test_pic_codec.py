@@ -291,3 +291,30 @@ class TestRDSweep:
         assert len(res["bpp"]) == 3
         assert res["bpp"] == sorted(res["bpp"])
         assert all(np.isfinite(res["psnr"]))
+
+
+class TestTransferWidening:
+    """The tunnel-slimming paths: symbols cross D2H as int8 with
+    int16/int32 widening flags, and H2D uploads pick the narrowest safe
+    width. Out-of-range content must widen, not wrap."""
+
+    def test_get_sym_width_selection(self, setup):
+        _, _, _, codec = setup
+        for vals in ([3, -7, 127], [200, -300, 5], [40000, -2, 1]):
+            sym = jnp.asarray(np.array(vals, np.int32))
+            out = codec._get_sym(
+                sym.astype(jnp.int8), sym.astype(jnp.int16),
+                sym, (jnp.abs(sym) > 127).any(),
+                (jnp.abs(sym) > 32000).any())
+            np.testing.assert_array_equal(out, np.array(vals, np.int32))
+            assert out.dtype == np.int32
+
+    def test_h2d_sym_round_trips_all_widths(self, setup):
+        # narrow upload + device widen: values exact, dtype always int32
+        # so the shared enc/dec programs keep ONE dtype signature
+        _, _, _, codec = setup
+        for vals in ([1, -127, 127], [1, 300, -3000], [1, 40000, -5]):
+            arr = codec._h2d_sym(np.array(vals, np.int32))
+            assert arr.dtype == jnp.int32
+            np.testing.assert_array_equal(np.asarray(arr),
+                                          np.array(vals, np.int32))

@@ -210,10 +210,20 @@ def main(argv=None):
             },
         }
 
+    def photo768_crops():
+        """The bench's 768x512 photographic crops (6 training-photo crops
+        + the held-out d0 panel) — the stream-layout est-vs-real gap
+        evidence at full working resolution (VERDICT r3 item 8)."""
+        from bench import photo_images
+
+        return [c.astype(np.float32) / 255.0 for c in photo_images(7)]
+
     groups = {}
     is_rem = hasattr(model, "check_levels") and cfg.get("model") == "rem"
     for name in args.regions:
-        crops = heldout_crops() if name == "val" else region_crops(name)
+        crops = (heldout_crops() if name == "val"
+                 else photo768_crops() if name == "photo768"
+                 else region_crops(name))
         print(f"# group {name}: {len(crops)} 256x256 crops", flush=True)
         groups[name] = eval_group(crops)
         if is_rem:

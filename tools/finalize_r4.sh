@@ -12,11 +12,13 @@ DST=artifacts/ckpt_r4_flagship
 
 PYTHONPATH= JAX_PLATFORMS=cpu python tools/make_artifact.py \
     "$RUN/$STAGE" "$DST"
-# eval on the real chip (fast); falls back to CPU if the tunnel hangs
-timeout 1800 python tools/eval_checkpoint.py "$DST" --regions val d0 \
+# eval on the real chip (fast); falls back to CPU if the tunnel hangs.
+# photo768 = 768x512 stream-layout gap evidence (VERDICT r3 item 8)
+timeout 2400 python tools/eval_checkpoint.py "$DST" \
+    --regions val d0 photo768 \
     --out "$DST/eval_heldout.json" \
-  || PYTHONPATH= JAX_PLATFORMS=cpu timeout 3600 python \
-    tools/eval_checkpoint.py "$DST" --regions val d0 \
+  || PYTHONPATH= JAX_PLATFORMS=cpu timeout 5400 python \
+    tools/eval_checkpoint.py "$DST" --regions val d0 photo768 \
     --out "$DST/eval_heldout.json"
 PYTHONPATH= JAX_PLATFORMS=cpu python tools/plot_rd.py \
     "$DST/eval_heldout.json" --out artifacts/rd_r4.png

@@ -108,13 +108,13 @@ def main(argv=None):
             codec._p_base_params(), v, lm_b, ls_b, buf, np.int32(i))
         tb_params += t
         y_i = y[..., i * c:(i + 1) * c]
-        t, (s16, s32, flag) = timed(codec._p_base_sym(), y_i, mu)
+        t, (s8, s16, s32, fl8, fl16) = timed(codec._p_base_sym(), y_i, mu)
         tb_sym += t
         t, (y_hat, buf) = timed(codec._p_base_finish(), v, s32, mu, msup,
                                 buf, np.int32(i))
         tb_finish += t
         y_hat_slices.append(y_hat)
-        syms.append((s16, idx))
+        syms.append((s8, idx))
     prof["base_params_x%d" % model.ns0] = tb_params
     prof["base_sym_x%d" % model.ns0] = tb_sym
     prof["base_finish_x%d" % model.ns0] = tb_finish
@@ -122,7 +122,8 @@ def main(argv=None):
     t, (mu_s, scale_s, mask1, idx_full, msups) = timed(
         codec._p_prog_params(10.0), v, tuple(y_hat_slices), lm, ls)
     prof["prog_params_chain"] = t
-    t, (p16, p32, pflag) = timed(codec._p_prog_sym(), y, mu_s, mask1)
+    t, (p8, p16, p32, pfl8, pfl16) = timed(codec._p_prog_sym(), y, mu_s,
+                                           mask1)
     prof["prog_sym"] = t
     t, sid = timed(_p_shell_ids(codec, tuple(Q_LIST)), scale_s)
     prof["shell_ids"] = t
@@ -130,10 +131,10 @@ def main(argv=None):
     # ---- D2H transfer costs (tunnel-bound) ----
     t0 = time.time()
     _ = np.asarray(jax.device_get(jnp.stack([s for s, _ in syms])))
-    prof["d2h_base_sym_int16"] = time.time() - t0
+    prof["d2h_base_sym_int8"] = time.time() - t0
     t0 = time.time()
-    _ = np.asarray(jax.device_get(p16))
-    prof["d2h_prog_sym_int16"] = time.time() - t0
+    _ = np.asarray(jax.device_get(p8))
+    prof["d2h_prog_sym_int8"] = time.time() - t0
     t0 = time.time()
     _ = np.asarray(jax.device_get(idx_full))
     prof["d2h_prog_idx_int8"] = time.time() - t0
