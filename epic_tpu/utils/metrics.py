@@ -33,19 +33,26 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
 
 
 def _filter2d(x, kernel1d):
-    """Separable valid-mode Gaussian filter over NHWC."""
+    """Separable valid-mode Gaussian filter over NHWC.
+
+    HIGHEST precision is load-bearing: at the TPU's default conv
+    precision f32 inputs are rounded to bf16 in the MXU, and the
+    E[x^2]-mu^2 variance terms downstream cancel catastrophically
+    (observed: msssim=1.0 spikes / non-monotone junk on TPU while the
+    same code is exact on CPU). Metric cost is negligible.
+    """
     c = x.shape[-1]
-    kh = kernel1d.reshape(1, -1, 1, 1, 1)
-    kw = kernel1d.reshape(1, 1, -1, 1, 1)
     # depthwise via grouped conv
     k_h = jnp.tile(kernel1d.reshape(-1, 1, 1, 1), (1, 1, 1, c))
     k_w = jnp.tile(kernel1d.reshape(1, -1, 1, 1), (1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, 1, 1),
                                         ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(
-        x, k_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+        x, k_h, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
     y = jax.lax.conv_general_dilated(
-        y, k_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+        y, k_w, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
     return y
 
 

@@ -218,6 +218,47 @@ def main(argv=None):
 
         return [c.astype(np.float32) / 255.0 for c in photo_images(7)]
 
+    def rem_per_quality(crops, qualities=(1.0, 2.0, 4.0, 10.0)):
+        """Per-quality real-codec RD, plain vs REM-refined coding params
+        (the reference's fast_encdec path, rem_pic.py:167-220): for
+        q > check_levels[0] the bank refines (mu, scale) from the decoded
+        checkpoint latent — THIS is the rate the rems training stage buys
+        (the chained single-bitstream ladder is a structural no-op for a
+        single check level, so the ladder groups cannot show it)."""
+        x = jnp.asarray(np.stack(crops[:4]))
+        npix = x.shape[0] * x.shape[1] * x.shape[2]
+
+        def nbits(out):
+            y_strings, z_strings = out["strings"]
+            return (sum(len(s) for sl in y_strings for s in sl)
+                    + sum(len(s) for s in z_strings)) * 8.0
+
+        ck, cks = None, []
+        for cl in model.check_levels:
+            ck = codec.extract_checkpoint(x, float(cl), checkpoint_rep=ck)
+            cks.append(ck)
+        rows = []
+        for q in qualities:
+            if q <= model.check_levels[0]:
+                continue
+            o_plain = codec.compress(x, float(q))
+            o_rem = codec.compress(x, float(q), checkpoint_rep=cks[-1])
+            d_plain = codec.decompress(o_plain)
+            d_rem = codec.decompress(o_rem, checkpoint_rep=cks[-1])
+            mse_p = float(jnp.mean((jnp.asarray(
+                d_plain["x_hat"], jnp.float32) - x) ** 2))
+            mse_r = float(jnp.mean((jnp.asarray(
+                d_rem["x_hat"], jnp.float32) - x) ** 2))
+            bpp_p, bpp_r = nbits(o_plain) / npix, nbits(o_rem) / npix
+            rows.append({
+                "q": q,
+                "bpp": round(bpp_p, 4), "bpp_rem": round(bpp_r, 4),
+                "psnr": round(-10 * np.log10(max(mse_p, 1e-12)), 2),
+                "psnr_rem": round(-10 * np.log10(max(mse_r, 1e-12)), 2),
+                "rate_saving_pct": round((bpp_p - bpp_r) / bpp_p * 100, 2),
+            })
+        return rows
+
     groups = {}
     is_rem = hasattr(model, "check_levels") and cfg.get("model") == "rem"
     for name in args.regions:
@@ -227,9 +268,11 @@ def main(argv=None):
         print(f"# group {name}: {len(crops)} 256x256 crops", flush=True)
         groups[name] = eval_group(crops)
         if is_rem:
-            # same content through the REM-refined coding path; the
-            # difference vs the plain group is what the rems stage buys
+            # ladder through the chained-REM coding path (identical to
+            # plain for a single check level — kept as a parity check)
             groups[name + "_rem"] = eval_group(crops, rems=True)
+            # per-quality REM rate savings — the rems stage's actual win
+            groups[name]["rem_per_quality"] = rem_per_quality(crops)
 
     first = groups[args.regions[0]]
     res = {
