@@ -182,36 +182,28 @@ def main():
     check_levels = list(getattr(model, "check_levels", ()) or ())
     use_rems = bool(check_levels) and model.ns1 > model.ns0
     _ckpt_equality_checked = []
-    if use_rems and len(check_levels) == 1:
-        # device-only forward extraction (async dispatch, no host entropy
-        # work in the pipelined loop); verified ONCE against the codec's
-        # compress-based extract_checkpoint at warmup below so benched RD
-        # points stay comparable with eval_checkpoint.py / cli/codec.py
-        from epic_tpu.training.step import make_ckpt_extractor
-
-        _ex = make_ckpt_extractor(model)
-        extract_cks = lambda x: [  # noqa: E731
-            _ex(params, x, jnp.float32(check_levels[0]))]
-
-        def check_ckpt_equality(x):
-            import numpy as np
-            fwd = np.asarray(extract_cks(x)[0], np.float32)
-            cod = np.asarray(codec.extract_checkpoint(
-                x, float(check_levels[0])), np.float32)
-            np.testing.assert_allclose(fwd, cod, rtol=0, atol=1e-5)
-            _ckpt_equality_checked.append(True)
-            log("ckpt-extract equality: forward == codec path OK")
-    elif use_rems:
+    if use_rems:
+        # device-only extraction through the codec's OWN shared programs
+        # (bitwise = compress(return_latents)['y_hat']: the rANS round
+        # trip is lossless) — async dispatch, no host entropy work in the
+        # pipelined loop, and the benched latents are exactly what
+        # eval_checkpoint.py / cli/codec.py transmit
         def extract_cks(x):
             cks, prev = [], None
             for cl in check_levels:
-                prev = codec.extract_checkpoint(x, float(cl),
-                                                checkpoint_rep=prev)
+                prev = codec.extract_checkpoint_device(
+                    x, float(cl), checkpoint_rep=prev)
                 cks.append(prev)
             return cks
 
         def check_ckpt_equality(x):
-            pass
+            import numpy as np
+            dev = np.asarray(extract_cks(x)[0], np.float32)
+            cod = np.asarray(codec.extract_checkpoint(
+                x, float(check_levels[0])), np.float32)
+            np.testing.assert_array_equal(dev, cod)
+            _ckpt_equality_checked.append(True)
+            log("ckpt-extract equality: device path == codec path OK")
     else:
         extract_cks = lambda x: None  # noqa: E731
 

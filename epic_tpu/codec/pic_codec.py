@@ -694,6 +694,54 @@ class PICCodec:
                             checkpoint_rep=checkpoint_rep)
         return out["y_hat"] if quality > 0 else out["y_hat_base"]
 
+    def extract_checkpoint_device(self, x, quality: float,
+                                  checkpoint_rep=None):
+        """Bitwise `extract_checkpoint`, but DEVICE-ONLY: the same shared
+        codec programs (fused base step, prog params, prog sym, prog
+        reconstruct) without any host entropy coding — valid because the
+        rANS round trip is lossless, so compress(return_latents)['y_hat']
+        is fully determined by the device-computed symbols. The pipelined
+        bench dispatches this async; a decoder reproduces the identical
+        latent by decoding the check-level streams through the same
+        programs."""
+        v = self.variables
+        x = jnp.asarray(x)
+        y, z_sym_dev = self._p_front()(v, x, self._z_med_dev)
+        lm, ls = self._p_zhat_hyper(False)(v, z_sym_dev, self._z_med_dev)
+        lm_b = lm[..., :self.model.division[0]]
+        ls_b = ls[..., :self.model.division[0]]
+        ns0, c = self.model.ns0, self.model.dim_chunk
+        buf = self._base_buf0(lm_b)
+        y_hat_slices, mus_b, scales_b = [], [], []
+        mu, scale, idx, msup = self._p_base_params()(
+            v, lm_b, ls_b, buf, np.int32(0))
+        for i in range(ns0):
+            y_i = y[..., i * c:(i + 1) * c]
+            _, _, s32, _, _ = self._p_base_sym()(y_i, mu)
+            mus_b.append(mu)
+            scales_b.append(scale)
+            if i + 1 < ns0:
+                y_hat, buf, mu, scale, idx, msup = self._p_base_step()(
+                    v, s32, mu, msup, buf, np.int32(i), lm_b, ls_b)
+            else:
+                y_hat, buf = self._p_base_finish()(v, s32, mu, msup, buf,
+                                                   np.int32(i))
+            y_hat_slices.append(y_hat)
+        if quality <= 0:
+            return jnp.concatenate(y_hat_slices, axis=-1)
+        if checkpoint_rep is not None:
+            mu_s, scale_s, mask, idx, msups = self._p_prog_params(
+                float(quality), True)(
+                v, tuple(y_hat_slices), lm, ls, jnp.asarray(checkpoint_rep),
+                tuple(mus_b), tuple(scales_b))
+        else:
+            mu_s, scale_s, mask, idx, msups = self._p_prog_params(
+                float(quality))(v, tuple(y_hat_slices), lm, ls)
+        _, _, s32, _, _ = self._p_prog_sym()(y, mu_s, mask)
+        _, y_prog = self._p_prog_reconstruct()(
+            v, s32, mu_s, msups, tuple(y_hat_slices))
+        return y_prog
+
     def decompress(self, bitstream: Dict[str, Any],
                    quality: Optional[float] = None,
                    checkpoint_rep=None) -> Dict[str, Any]:

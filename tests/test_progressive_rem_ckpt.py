@@ -150,3 +150,26 @@ class TestCheckpointIO:
         model2, _, cfg2, _ = load_checkpoint(
             d, config_overrides={"check_levels": (0.1, 1.0)})
         assert tuple(model2.check_levels) == (0.1, 1.0)
+
+
+class TestDeviceExtract:
+    def test_device_extract_bitwise_equals_codec_extract(self, rem_codec):
+        """extract_checkpoint_device (device-only, no host entropy coding)
+        must be BITWISE the compress-based extract_checkpoint — the bench
+        feeds it to both encoder and decoder, and cli/codec transmits the
+        compress-based one (chained: 2nd level conditioned on the 1st)."""
+        model, v, x, codec = rem_codec
+        prev_c = prev_d = None
+        for cl in model.check_levels:
+            prev_c = codec.extract_checkpoint(x, float(cl),
+                                              checkpoint_rep=prev_c)
+            prev_d = codec.extract_checkpoint_device(x, float(cl),
+                                                     checkpoint_rep=prev_d)
+            np.testing.assert_array_equal(np.asarray(prev_c),
+                                          np.asarray(prev_d))
+
+    def test_device_extract_base_quality(self, rem_codec):
+        model, v, x, codec = rem_codec
+        a = codec.extract_checkpoint(x, 0.0)
+        b = codec.extract_checkpoint_device(x, 0.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

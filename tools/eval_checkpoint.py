@@ -211,12 +211,15 @@ def main(argv=None):
         }
 
     def photo768_crops():
-        """The bench's 768x512 photographic crops (6 training-photo crops
-        + the held-out d0 panel) — the stream-layout est-vs-real gap
-        evidence at full working resolution (VERDICT r3 item 8)."""
+        """768x512 photographic crops (3 training-photo crops + the
+        held-out d0 panel) — the stream-layout est-vs-real gap evidence
+        at full working resolution (VERDICT r3 item 8). Four crops, not
+        all seven: decode-all folds 15 levels into the batch axis, and
+        batch 7 at 768x512 overflows v5e HBM."""
         from bench import photo_images
 
-        return [c.astype(np.float32) / 255.0 for c in photo_images(7)]
+        pool = photo_images(7)
+        return [pool[i].astype(np.float32) / 255.0 for i in (0, 3, 5, 6)]
 
     def rem_per_quality(crops, qualities=(1.0, 2.0, 4.0, 10.0)):
         """Per-quality real-codec RD, plain vs REM-refined coding params
