@@ -278,13 +278,15 @@ class PICCodec:
 
     def _get_sym(self, sym8, sym16, sym32, flag8, flag16) -> np.ndarray:
         """Fetch symbols over the slow tunnel at the narrowest width that
-        holds them (int8 in practice; int16/int32 on the widening flags)."""
+        holds them (int8 in practice; int16/int32 on the widening flags).
+        Returns the NARROW dtype — the C entropy layer reads int8/16/32
+        directly, and the batched encoders convert when needed."""
         f8, f16 = jax.device_get((flag8, flag16))
         if bool(f16):
             return np.asarray(jax.device_get(sym32), np.int32)
         if bool(f8):
-            return np.asarray(jax.device_get(sym16)).astype(np.int32)
-        return np.asarray(jax.device_get(sym8)).astype(np.int32)
+            return np.asarray(jax.device_get(sym16))
+        return np.asarray(jax.device_get(sym8))
 
     def _p_widen(self):
         """Exact int->int32 widening as its own tiny device program, so

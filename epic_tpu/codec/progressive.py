@@ -185,46 +185,51 @@ def progressive_encode_start(codec: PICCodec, x,
 
 
 def progressive_encode_finish(codec: PICCodec,
-                              st: Dict[str, Any]) -> tuple[Dict[str, Any],
-                                                           list]:
+                              st: Dict[str, Any],
+                              timing: Optional[Dict[str, float]] = None
+                              ) -> tuple[Dict[str, Any], list]:
     """Host phase: shell sort + one segmented rANS stream per image (plus
-    the z streams). Consumes the state from progressive_encode_start."""
+    the z streams). Consumes the state from progressive_encode_start.
+    `timing` (optional dict) accumulates per-phase seconds
+    (fetch/sort/pack/rans) for pipeline diagnosis."""
     q_list = st["q_list"]
     nq = len(q_list)
 
-    z_sym = np.asarray(jax.device_get(st["z_sym"]))
-    z_strings = codec._encode_z(z_sym)
-    z_shape = z_sym.shape[1:3]
+    def tick(key, t0):
+        if timing is not None:
+            timing[key] = timing.get(key, 0.0) + (time.time() - t0)
+        return time.time()
 
+    t = time.time()
+    z_sym = np.asarray(jax.device_get(st["z_sym"]))
     base_sym = codec._get_sym(st["base_s8"], st["base_s16"],
                               st["base_s32"], st["base_flag8"],
                               st["base_flag16"])
-    base_idx = np.asarray(jax.device_get(st["base_idx"])).astype(np.int32)
+    base_idx = np.asarray(jax.device_get(st["base_idx"]))   # int8 buckets
     sym_np = codec._get_sym(st["p8"], st["p16"], st["p32"],
                             st["pflag8"], st["pflag16"])
-    idx_np = np.asarray(jax.device_get(st["idx_full"])).astype(np.int32)
+    idx_np = np.asarray(jax.device_get(st["idx_full"]))
     sid_np = np.asarray(jax.device_get(st["sid"]))
+    t = tick("fetch_s", t)
+
+    z_strings = codec._encode_z(z_sym)
+    z_shape = z_sym.shape[1:3]
+    t = tick("z_rans_s", t)
 
     b = sym_np.shape[1]
-    order, starts = _shell_order(sid_np, nq)
-    sym_sorted = _sort_flat(sym_np, order)
-    idx_sorted = _sort_flat(idx_np, order)
 
-    nb = base_sym[:, 0].size
-    base_flat_sym = base_sym.transpose(1, 0, 2, 3, 4).reshape(b, -1)
-    base_flat_idx = base_idx.transpose(1, 0, 2, 3, 4).reshape(b, -1)
-    seg_ends = np.concatenate(
-        [np.full((b, 1), nb, np.int64), nb + starts[:, 1:]], axis=1)
-    msg_lengths = seg_ends[:, -1]
-    sym_cat = np.concatenate([
-        np.concatenate([base_flat_sym[bi], sym_sorted[bi, :starts[bi, nq]]])
-        for bi in range(b)])
-    idx_cat = np.concatenate([
-        np.concatenate([base_flat_idx[bi], idx_sorted[bi, :starts[bi, nq]]])
-        for bi in range(b)])
-    blobs, prefix = codec.y_coder.encode_seg_batch(
-        np.ascontiguousarray(sym_cat), np.ascontiguousarray(idx_cat),
-        msg_lengths, seg_ends)
+    # per-image flat [B, S*h*w*c] views at the NARROW device dtypes; the
+    # stable shell bucketing + gather + segmented encode all run inside
+    # ONE C call (epic_rans_encode_shell_batch) — the former numpy
+    # argsort/take/concat pack measured ~1.9s/sweep on this 1-core host
+    def flat(a):
+        return np.ascontiguousarray(
+            a.transpose(1, 0, 2, 3, 4).reshape(b, -1))
+
+    blobs, prefix = codec.y_coder.encode_shell_batch(
+        flat(base_sym), flat(base_idx).view(np.uint8),
+        flat(sym_np), flat(idx_np).view(np.uint8), flat(sid_np), nq)
+    tick("y_rans_s", t)
     bitstreams = {
         "layout": "stream",
         "q_list": q_list,
@@ -442,7 +447,7 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
         sid.copy_to_host_async()
         cache["entropy"] = (
             mu_s, msups,
-            np.asarray(jax.device_get(idx_full)).astype(np.int32),
+            np.asarray(jax.device_get(idx_full)),   # int8 CDF buckets
             np.asarray(jax.device_get(sid)),
         )
         cache["canvas"] = None
@@ -450,49 +455,57 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
     mu_s, msups, idx_np, sid_np = cache["entropy"]
 
     nq = len(q_list)
-    if cache.get("pack") is None:
-        # shell-sorted segment boundaries from the shared sid-derived
-        # permutation (bitwise identical to the encoder's)
-        order, starts = _shell_order(sid_np, nq)
-        cache["pack"] = (order, starts,
-                         _sort_flat(idx_np, order))
-        # int8 canvas: quarters the decoder's biggest H2D upload over the
-        # tunnel; promoted to int16/int32 if out-of-range symbols arrive
-        cache["canvas_flat"] = np.zeros(order.shape, np.int8)
-        cache["canvas"] = np.zeros(idx_np.shape, np.int8)
-    order, starts, idx_sorted = cache["pack"]
     b = idx_np.shape[1]
+
+    def _flat(a):
+        return np.ascontiguousarray(
+            a.transpose(1, 0, 2, 3, 4).reshape(b, -1))
+
     j0 = cache["decoded_upto"]
     if q_ind > j0:
-        flat = cache["canvas_flat"]
-
-        def _widen_if_needed(sym):
-            nonlocal flat
-            m = np.abs(sym).max() if sym.size else 0
-            if m > 127 and flat.dtype == np.int8:
-                flat = cache["canvas_flat"] = flat.astype(
-                    np.int16 if m <= 32000 else np.int32)
-            if m > 32000 and flat.dtype == np.int16:
-                flat = cache["canvas_flat"] = flat.astype(np.int32)
-            return sym
-
         if stream:
             # continue every image's stateful decoder through shells
-            # [j0, q_ind) in ONE threaded C call (the rANS states already
-            # sit just past the base symbols; per-image chunks are ragged)
-            spans = [(int(starts[bi, j0]), int(starts[bi, q_ind]))
-                     for bi in range(b)]
-            seg_idx = np.concatenate(
-                [idx_sorted[bi, s0:s1] for bi, (s0, s1) in enumerate(spans)]
-            ) if spans else np.zeros(0, np.int32)
-            sym = _widen_if_needed(codec.y_coder.decode_streams(
-                cache["streams"], seg_idx,
-                [s1 - s0 for s0, s1 in spans]))
-            off = 0
-            for bi, (s0, s1) in enumerate(spans):
-                flat[bi, order[bi, s0:s1]] = sym[off:off + (s1 - s0)]
-                off += s1 - s0
+            # [j0, q_ind) in ONE threaded C call that writes each symbol
+            # at its ORIGINAL flat position (epic_rans_stream_decode_
+            # shell_batch): the stable counting walk replaces the former
+            # host argsort + gather + scatter (measured numpy bottleneck
+            # on this 1-core host). Out-of-int16 escape symbols come back
+            # on an overflow list and are patched after widening.
+            if cache.get("flat") is None:
+                cache["flat"] = (_flat(idx_np).view(np.uint8),
+                                 _flat(sid_np))
+                cache["canvas_flat"] = np.zeros(
+                    cache["flat"][0].shape, np.int16)
+                cache["ovf"] = []
+            idx_flat, sid_flat = cache["flat"]
+            flat = cache["canvas_flat"]
+            n_ovf = codec.y_coder.decode_shell_streams(
+                cache["streams"], idx_flat, sid_flat, j0, q_ind, nq, flat)
+            if n_ovf:
+                cache["ovf"].append(codec.y_coder._last_overflow)
         else:
+            if cache.get("pack") is None:
+                # shell-sorted segment boundaries from the shared
+                # sid-derived permutation (identical to the encoder's)
+                order, starts = _shell_order(sid_np, nq)
+                cache["pack"] = (order, starts,
+                                 _sort_flat(idx_np.astype(np.int32),
+                                            order))
+                cache["canvas_flat"] = np.zeros(order.shape, np.int8)
+                cache["ovf"] = []
+            order, starts, idx_sorted = cache["pack"]
+            flat = cache["canvas_flat"]
+
+            def _widen_if_needed(sym):
+                nonlocal flat
+                m = np.abs(sym).max() if sym.size else 0
+                if m > 127 and flat.dtype == np.int8:
+                    flat = cache["canvas_flat"] = flat.astype(
+                        np.int16 if m <= 32000 else np.int32)
+                if m > 32000 and flat.dtype == np.int16:
+                    flat = cache["canvas_flat"] = flat.astype(np.int32)
+                return sym
+
             datas, seg_idx, seg_len, pos = [], [], [], []
             for j in range(j0, q_ind):
                 for bi in range(b):
@@ -513,8 +526,20 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
                 for (bi, s0, s1), ln in zip(pos, seg_len):
                     flat[bi, order[bi, s0:s1]] = sym[off:off + ln]
                     off += ln
+            flat = cache["canvas_flat"]
+        if cache["ovf"]:
+            out = flat.astype(np.int32)
+            for pos_o, val_o in cache["ovf"]:
+                out.reshape(-1)[pos_o] = val_o
+        elif flat.dtype == np.int16 and (
+                not flat.size or np.abs(flat, dtype=np.int32).max() <= 127):
+            # narrow for the H2D upload (the tunnel runs at ~MB/s; int8
+            # quarters the decoder's biggest transfer vs int32)
+            out = flat.astype(np.int8)
+        else:
+            out = flat
         s, _, h, w, c = idx_np.shape
-        cache["canvas"] = flat.reshape(b, s, h, w, c).transpose(
+        cache["canvas"] = out.reshape(b, s, h, w, c).transpose(
             1, 0, 2, 3, 4)
         cache["decoded_upto"] = q_ind
     canvas = cache["canvas"]

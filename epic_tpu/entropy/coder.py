@@ -250,6 +250,107 @@ class RansCoder:
         self.stats["encode_syms"] += int(symbols.size)
         return res, prefix
 
+    def encode_shell_batch(self, base_sym, base_idx, prog_sym, prog_idx,
+                           sid, nq: int) -> tuple[list[bytes], np.ndarray]:
+        """Shell-bucketed single-stream encode straight from UNSORTED flat
+        device arrays: per image, [base grid order] ++ [progressive
+        symbols stably bucketed by shell id] with exact per-boundary
+        prefix bytes. The stable counting walk runs in C — byte-identical
+        to argsort(stable)+gather+encode_seg_batch, without the host-side
+        numpy pack (measured ~1.9s/sweep on the 1-core TPU-VM host).
+
+        base_sym [M, nb] int8/16/32, base_idx [M, nb] uint8-valued,
+        prog_sym [M, np] int8/16/32, prog_idx [M, np], sid [M, np] int8
+        (values 0..nq; nq = never coded). Returns (blobs, prefix [M, nq+1]).
+        """
+        t_start = time.perf_counter()
+
+        def _sym(a):
+            a = np.ascontiguousarray(a)
+            if a.dtype not in (np.int8, np.int16, np.int32):
+                a = a.astype(np.int32)
+            return a
+
+        base_sym = _sym(base_sym)
+        prog_sym = _sym(prog_sym)
+        base_idx = _ascontig(base_idx, np.uint8)
+        prog_idx = _ascontig(prog_idx, np.uint8)
+        sid = _ascontig(sid, np.int8)
+        m, nb = base_sym.shape
+        np_ = prog_sym.shape[1]
+        if prog_idx.shape != (m, np_) or sid.shape != (m, np_) or \
+                base_idx.shape != (m, nb):
+            raise ValueError("shell encode: inconsistent shapes")
+        cap = int(max(64, (nb + np_) * 8 + 64))
+        out = np.empty(m * cap, dtype=np.uint8)
+        out_lengths = np.empty(m, dtype=np.int64)
+        prefix = np.empty((m, nq + 1), dtype=np.int64)
+        rc = self._lib.epic_rans_encode_shell_batch(
+            ctypes.c_void_p(base_sym.ctypes.data),
+            np.int32(base_sym.dtype.itemsize), _u8p(base_idx),
+            np.int64(nb),
+            ctypes.c_void_p(prog_sym.ctypes.data),
+            np.int32(prog_sym.dtype.itemsize), _u8p(prog_idx),
+            sid.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            np.int64(np_), np.int32(nq), np.int32(m),
+            _u32p(self.cdfs), np.int64(self.cdfs.shape[1]),
+            _i32p(self.cdf_lengths), _i32p(self.offsets),
+            np.int32(self.precision), _u8p(out), np.int64(cap),
+            _i64p(out_lengths), _i64p(prefix), np.int32(self.nthreads),
+        )
+        if rc != 0:
+            raise RuntimeError(f"shell rANS encode failed ({rc})")
+        res = [out[i * cap:i * cap + int(out_lengths[i])].tobytes()
+               for i in range(m)]
+        self.stats["encode_s"] += time.perf_counter() - t_start
+        self.stats["encode_calls"] += 1
+        self.stats["encode_syms"] += int(nb * m) + int(
+            (np.asarray(sid) < nq).sum())
+        return res, prefix
+
+    def decode_shell_streams(self, streams: Sequence["StreamDecoder"],
+                             idx_flat, sid, j0: int, j1: int, nq: int,
+                             canvas: np.ndarray) -> int:
+        """Advance every stream through shells [j0, j1), writing decoded
+        symbols at their ORIGINAL flat positions into ``canvas`` (int16
+        [M, np], mutated in place) — the decoder-side mirror of
+        encode_shell_batch (no order array, no host scatter). Returns the
+        count of out-of-int16 outliers patched into the canvas (the canvas
+        is widened to int32 by the CALLER in that case — see usage)."""
+        t_start = time.perf_counter()
+        idx_flat = _ascontig(idx_flat, np.uint8)
+        sid = _ascontig(sid, np.int8)
+        m, np_ = sid.shape
+        if len(streams) != m or canvas.shape != (m, np_) or \
+                canvas.dtype != np.int16 or not canvas.flags.c_contiguous:
+            raise ValueError("shell decode: bad canvas/streams")
+        handles = (ctypes.c_void_p * m)(
+            *[ctypes.c_void_p(s._handle) for s in streams])
+        cap = 65536
+        ovf_pos = np.empty(cap, dtype=np.int64)
+        ovf_val = np.empty(cap, dtype=np.int32)
+        rc = self._lib.epic_rans_stream_decode_shell_batch(
+            handles, np.int32(m), _u8p(idx_flat),
+            sid.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            np.int64(np_), np.int32(j0), np.int32(j1), np.int32(nq),
+            _u32p(self.cdfs), np.int64(self.cdfs.shape[1]),
+            _i32p(self.cdf_lengths), _i32p(self.offsets),
+            np.int32(self.precision),
+            canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            _i64p(ovf_pos), _i32p(ovf_val), np.int32(cap),
+            np.int32(self.nthreads),
+        )
+        if rc < 0:
+            raise RuntimeError(f"shell stream decode failed ({rc})")
+        n_decoded = int(((np.asarray(sid) >= j0)
+                         & (np.asarray(sid) < j1)).sum())
+        self.stats["decode_s"] += time.perf_counter() - t_start
+        self.stats["decode_calls"] += 1
+        self.stats["decode_syms"] += n_decoded
+        if rc > 0:
+            self._last_overflow = (ovf_pos[:rc].copy(), ovf_val[:rc].copy())
+        return rc
+
     def decode_streams(self, streams: Sequence["StreamDecoder"], indexes,
                        msg_lengths: Sequence[int]) -> np.ndarray:
         """Advance M independent StreamDecoders by one chunk each (chunk i

@@ -96,6 +96,26 @@ def _declare(lib: ctypes.CDLL) -> None:
         i32p, i32p, c.c_int32, i32p, c.c_int32,
     ]
 
+    i8p, i16p = c.POINTER(c.c_int8), c.POINTER(c.c_int16)
+    lib.epic_rans_encode_shell_batch.restype = c.c_int32
+    lib.epic_rans_encode_shell_batch.argtypes = [
+        c.c_void_p, c.c_int32, u8p, c.c_int64,          # base sym/idx
+        c.c_void_p, c.c_int32, u8p, i8p, c.c_int64,     # prog sym/idx/sid
+        c.c_int32, c.c_int32,                           # nq, m
+        u32p, c.c_int64, i32p, i32p, c.c_int32,         # tables
+        u8p, c.c_int64, i64p, i64p, c.c_int32,          # out
+    ]
+
+    lib.epic_rans_stream_decode_shell_batch.restype = c.c_int32
+    lib.epic_rans_stream_decode_shell_batch.argtypes = [
+        c.POINTER(c.c_void_p), c.c_int32,
+        u8p, i8p, c.c_int64,                            # idx/sid flat
+        c.c_int32, c.c_int32, c.c_int32,                # j0, j1, nq
+        u32p, c.c_int64, i32p, i32p, c.c_int32,         # tables
+        i16p,                                           # canvas
+        i64p, i32p, c.c_int32, c.c_int32,               # overflow, threads
+    ]
+
     lib.epic_rans_stream_new.restype = c.c_void_p
     lib.epic_rans_stream_new.argtypes = [u8p, c.c_int64]
 

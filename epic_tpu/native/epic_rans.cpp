@@ -268,6 +268,49 @@ void decode_one(const uint8_t* data, int64_t nbytes,
     }
 }
 
+// Read a signed symbol of width 1/2/4 bytes at flat position i.
+inline int32_t read_sym_w(const void* base, int32_t width, int64_t i) {
+    switch (width) {
+        case 1: return static_cast<const int8_t*>(base)[i];
+        case 2: return static_cast<const int16_t*>(base)[i];
+        default: return static_cast<const int32_t*>(base)[i];
+    }
+}
+
+// Decode ONE symbol from a rANS state (shared by decode_one /
+// stream decode / the shell decoder).
+inline int32_t decode_symbol(RansDecState& st, const uint32_t* cdf,
+                             int32_t cdf_len, int32_t offset,
+                             int precision) {
+    const int32_t max_sym = cdf_len - 2;
+    const uint32_t cf = st.peek(precision);
+    int32_t s;
+    if (cdf_len > 32) {
+        const uint32_t* hi = std::upper_bound(cdf + 1, cdf + cdf_len, cf);
+        s = static_cast<int32_t>(hi - cdf) - 1;
+    } else {
+        s = 0;
+        while (cdf[s + 1] <= cf) ++s;
+    }
+    st.advance(cdf[s], cdf[s + 1] - cdf[s], precision);
+    int64_t value;
+    if (s == max_sym) {
+        uint64_t ov = 0; int shift = 0;
+        while (true) {
+            uint64_t nib = st.get_bits(BYPASS_NIBBLE);
+            uint32_t more = st.get_bits(1);
+            ov |= nib << shift;
+            shift += BYPASS_NIBBLE;
+            if (!more) break;
+        }
+        if (ov & 1u) value = -static_cast<int64_t>(ov >> 1) - 1;
+        else value = static_cast<int64_t>(ov >> 1) + max_sym;
+    } else {
+        value = s;
+    }
+    return static_cast<int32_t>(value + offset);
+}
+
 void parallel_for(int64_t count, int64_t max_threads,
                   const std::function<void(int64_t)>& fn) {
     if (count <= 1 || max_threads <= 1) {
@@ -573,6 +616,140 @@ int32_t epic_rans_stream_decode_batch(
         if (r != 0) err.store(r);
     });
     return err.load();
+}
+
+// -- shell-bucketed single-stream codec --------------------------------
+// The progressive codec's y-stream per image is [base slices in grid
+// order] ++ [progressive symbols STABLY sorted by shell id]. Deriving the
+// permutation host-side (numpy argsort + take_along_axis + concats) was
+// the measured bottleneck of the pipelined sweep (~1.9s/sweep of numpy on
+// the 1-core TPU-VM host). These entry points take the UNSORTED flat
+// arrays exactly as fetched from the device (int8 symbols, uint8 CDF
+// indexes, int8 shell ids) and do the counting walk in C — the stable
+// bucket order is identical to np.argsort(kind='stable'), so the emitted
+// bytes are bit-identical to the former host pack.
+
+int32_t epic_rans_encode_shell_batch(
+    const void* base_sym, int32_t base_width, const uint8_t* base_idx,
+    int64_t nb,
+    const void* prog_sym, int32_t prog_width, const uint8_t* prog_idx,
+    const int8_t* sid, int64_t np_,
+    int32_t nq, int32_t m,
+    const uint32_t* cdfs, int64_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets, int32_t precision,
+    uint8_t* out, int64_t per_msg_capacity, int64_t* out_lengths,
+    int64_t* prefix_bytes /* [m, nq+1] */, int32_t nthreads) {
+    std::atomic<int> err{0};
+    parallel_for(m, nthreads, [&](int64_t b) {
+        const int8_t* sid_b = sid + b * np_;
+        const uint8_t* bidx = base_idx + b * nb;
+        const uint8_t* pidx = prog_idx + b * np_;
+        std::vector<int64_t> heads(static_cast<size_t>(nq) + 1, 0);
+        for (int64_t i = 0; i < np_; ++i) {
+            const int s = sid_b[i];
+            if (s >= 0 && s < nq) ++heads[static_cast<size_t>(s) + 1];
+        }
+        for (int j = 1; j <= nq; ++j) heads[j] += heads[j - 1];
+        const int64_t coded = heads[static_cast<size_t>(nq)];
+        std::vector<int64_t> segs(static_cast<size_t>(nq) + 1);
+        segs[0] = nb;
+        for (int j = 1; j <= nq; ++j) segs[static_cast<size_t>(j)] =
+            nb + heads[static_cast<size_t>(j)];
+        std::vector<int64_t> pos(heads.begin(), heads.end() - 1);
+        std::vector<int32_t> tmp_sym(static_cast<size_t>(nb + coded));
+        std::vector<int32_t> tmp_idx(static_cast<size_t>(nb + coded));
+        const void* bs = static_cast<const uint8_t*>(base_sym)
+            + b * nb * base_width;
+        for (int64_t i = 0; i < nb; ++i) {
+            tmp_sym[static_cast<size_t>(i)] = read_sym_w(bs, base_width, i);
+            tmp_idx[static_cast<size_t>(i)] = bidx[i];
+        }
+        const void* ps = static_cast<const uint8_t*>(prog_sym)
+            + b * np_ * prog_width;
+        for (int64_t i = 0; i < np_; ++i) {
+            const int s = sid_b[i];
+            if (s >= 0 && s < nq) {
+                const int64_t p = nb + pos[static_cast<size_t>(s)]++;
+                tmp_sym[static_cast<size_t>(p)] =
+                    read_sym_w(ps, prog_width, i);
+                tmp_idx[static_cast<size_t>(p)] = pidx[i];
+            }
+        }
+        std::vector<uint8_t> bytes;
+        encode_seg_one(tmp_sym.data(), tmp_idx.data(), nb + coded,
+                       segs.data(), nq + 1, cdfs, cdf_stride, cdf_lengths,
+                       offsets, precision, bytes,
+                       prefix_bytes + b * (nq + 1));
+        if (static_cast<int64_t>(bytes.size()) > per_msg_capacity) {
+            out_lengths[b] = -1;
+            err.store(-1);
+            return;
+        }
+        std::memcpy(out + b * per_msg_capacity, bytes.data(), bytes.size());
+        out_lengths[b] = static_cast<int64_t>(bytes.size());
+    });
+    return err.load();
+}
+
+// Advance m independent streams through shells [j0, j1), writing each
+// decoded symbol at its ORIGINAL flat grid position into an int16 canvas
+// [m, np_] — no host-side order array, no scatter. Values that do not fit
+// int16 (escape-coded outliers) are appended to the overflow list for the
+// caller to patch after widening its canvas. Returns the overflow count
+// (>= 0) or a negative error (-1 bad handle, -3 overflow list full — the
+// stream state is then mid-message and NOT reusable).
+int32_t epic_rans_stream_decode_shell_batch(
+    void* const* handles, int32_t m,
+    const uint8_t* idx_flat, const int8_t* sid, int64_t np_,
+    int32_t j0, int32_t j1, int32_t nq,
+    const uint32_t* cdfs, int64_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets, int32_t precision,
+    int16_t* canvas,
+    int64_t* overflow_pos, int32_t* overflow_val, int32_t overflow_cap,
+    int32_t nthreads) {
+    std::atomic<int> err{0};
+    std::atomic<int32_t> novf{0};
+    parallel_for(m, nthreads, [&](int64_t b) {
+        if (handles[b] == nullptr) { err.store(-1); return; }
+        auto* s = static_cast<EpicRansStream*>(handles[b]);
+        const int8_t* sid_b = sid + b * np_;
+        const uint8_t* idx_b = idx_flat + b * np_;
+        std::vector<int64_t> heads(static_cast<size_t>(nq) + 1, 0);
+        for (int64_t i = 0; i < np_; ++i) {
+            const int v = sid_b[i];
+            if (v >= 0 && v < nq) ++heads[static_cast<size_t>(v) + 1];
+        }
+        for (int j = 1; j <= nq; ++j) heads[j] += heads[j - 1];
+        const int64_t count = heads[static_cast<size_t>(j1)]
+            - heads[static_cast<size_t>(j0)];
+        std::vector<int64_t> order(static_cast<size_t>(count));
+        std::vector<int64_t> pos(static_cast<size_t>(nq), 0);
+        for (int j = j0; j < j1; ++j)
+            pos[static_cast<size_t>(j)] = heads[static_cast<size_t>(j)]
+                - heads[static_cast<size_t>(j0)];
+        for (int64_t i = 0; i < np_; ++i) {
+            const int v = sid_b[i];
+            if (v >= j0 && v < j1)
+                order[static_cast<size_t>(pos[static_cast<size_t>(v)]++)] = i;
+        }
+        for (int64_t k = 0; k < count; ++k) {
+            const int64_t i = order[static_cast<size_t>(k)];
+            const int32_t idx = idx_b[i];
+            const int32_t value = decode_symbol(
+                s->st, cdfs + idx * cdf_stride, cdf_lengths[idx],
+                offsets[idx], precision);
+            if (value >= -32768 && value <= 32767) {
+                canvas[b * np_ + i] = static_cast<int16_t>(value);
+            } else {
+                const int32_t slot = novf.fetch_add(1);
+                if (slot >= overflow_cap) { err.store(-3); return; }
+                overflow_pos[slot] = b * np_ + i;
+                overflow_val[slot] = value;
+            }
+        }
+    });
+    const int e = err.load();
+    return e != 0 ? e : novf.load();
 }
 
 }  // extern "C"

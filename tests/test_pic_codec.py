@@ -299,15 +299,20 @@ class TestTransferWidening:
     width. Out-of-range content must widen, not wrap."""
 
     def test_get_sym_width_selection(self, setup):
+        # returns the NARROWEST width that holds the values (the C entropy
+        # layer reads int8/16/32 directly; widening only on the flags)
         _, _, _, codec = setup
-        for vals in ([3, -7, 127], [200, -300, 5], [40000, -2, 1]):
+        for vals, want in (([3, -7, 127], np.int8),
+                           ([200, -300, 5], np.int16),
+                           ([40000, -2, 1], np.int32)):
             sym = jnp.asarray(np.array(vals, np.int32))
             out = codec._get_sym(
                 sym.astype(jnp.int8), sym.astype(jnp.int16),
                 sym, (jnp.abs(sym) > 127).any(),
                 (jnp.abs(sym) > 32000).any())
-            np.testing.assert_array_equal(out, np.array(vals, np.int32))
-            assert out.dtype == np.int32
+            np.testing.assert_array_equal(out.astype(np.int32),
+                                          np.array(vals, np.int32))
+            assert out.dtype == want
 
     def test_h2d_sym_round_trips_all_widths(self, setup):
         # narrow upload + device widen: values exact, dtype always int32

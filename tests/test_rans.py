@@ -288,3 +288,140 @@ class TestBatchedStreamDecode:
             np.testing.assert_array_equal(g, sym)
         for s in sa:
             s.close()
+
+
+class TestShellCodec:
+    """Shell-bucketed single-stream codec (encode_shell_batch /
+    decode_shell_streams): the C counting walk must be BYTE-identical to
+    the numpy argsort(stable) + gather + encode_seg_batch pack it
+    replaces (the progressive codec's former host bottleneck), and the
+    shell decoder must land every symbol at its original flat grid
+    position with untouched positions left at zero."""
+
+    def _case(self, rng, m, nb, np_, nq, lo=-100, hi=100):
+        base_idx = rng.integers(0, 6, (m, nb)).astype(np.int8)
+        prog_idx = rng.integers(0, 6, (m, np_)).astype(np.int8)
+        base_sym = rng.integers(lo, hi, (m, nb)).astype(np.int32)
+        prog_sym = rng.integers(lo, hi, (m, np_)).astype(np.int32)
+        # sid == nq -> never coded at any quality
+        sid = rng.integers(0, nq + 1, (m, np_)).astype(np.int8)
+        return base_sym, base_idx, prog_sym, prog_idx, sid
+
+    def _numpy_pack(self, coder, base_sym, base_idx, prog_sym, prog_idx,
+                    sid, nq):
+        """The replaced host path: per-image stable shell sort + concat +
+        segmented batch encode."""
+        m, nb = base_sym.shape
+        order = np.argsort(sid, axis=-1, kind="stable")
+        sid_sorted = np.take_along_axis(sid, order, -1)
+        starts = np.stack([
+            np.searchsorted(sid_sorted[b], np.arange(nq + 1, dtype=sid.dtype))
+            for b in range(m)])
+        sym_sorted = np.take_along_axis(prog_sym, order, -1)
+        idx_sorted = np.take_along_axis(prog_idx.astype(np.int32), order, -1)
+        seg_ends = np.concatenate(
+            [np.full((m, 1), nb, np.int64), nb + starts[:, 1:]], axis=1)
+        sym_cat = np.concatenate([
+            np.concatenate([base_sym[b], sym_sorted[b, :starts[b, nq]]])
+            for b in range(m)])
+        idx_cat = np.concatenate([
+            np.concatenate([base_idx[b].astype(np.int32),
+                            idx_sorted[b, :starts[b, nq]]])
+            for b in range(m)])
+        return coder.encode_seg_batch(
+            np.ascontiguousarray(sym_cat), np.ascontiguousarray(idx_cat),
+            seg_ends[:, -1], seg_ends)
+
+    @pytest.mark.parametrize("sym_dtype", [np.int8, np.int16, np.int32])
+    def test_bytes_match_numpy_pack(self, coder, sym_dtype):
+        rng = np.random.default_rng(12)
+        nq = 5
+        base_sym, base_idx, prog_sym, prog_idx, sid = self._case(
+            rng, 3, 700, 4000, nq, lo=-90, hi=90)
+        want_blobs, want_prefix = self._numpy_pack(
+            coder, base_sym, base_idx, prog_sym, prog_idx, sid, nq)
+        blobs, prefix = coder.encode_shell_batch(
+            base_sym.astype(sym_dtype), base_idx.view(np.uint8),
+            prog_sym.astype(sym_dtype), prog_idx.view(np.uint8), sid, nq)
+        assert blobs == want_blobs
+        np.testing.assert_array_equal(prefix, want_prefix)
+
+    def test_decode_into_canvas(self, coder):
+        rng = np.random.default_rng(13)
+        m, nb, np_, nq = 3, 500, 3000, 5
+        base_sym, base_idx, prog_sym, prog_idx, sid = self._case(
+            rng, m, nb, np_, nq)
+        blobs, prefix = coder.encode_shell_batch(
+            base_sym.astype(np.int8), base_idx.view(np.uint8),
+            prog_sym.astype(np.int8), prog_idx.view(np.uint8), sid, nq)
+        streams = [coder.stream_decoder(b) for b in blobs]
+        # base symbols first, straight off the same streams
+        got_base = coder.decode_streams(
+            streams, base_idx.astype(np.int32), [nb] * m).reshape(m, nb)
+        np.testing.assert_array_equal(got_base, base_sym)
+        canvas = np.zeros((m, np_), np.int16)
+        # two incremental advances: shells [0,2) then [2,nq)
+        n1 = coder.decode_shell_streams(streams, prog_idx.view(np.uint8),
+                                        sid, 0, 2, nq, canvas)
+        assert n1 == 0
+        want = np.where(sid < 2, prog_sym, 0)
+        np.testing.assert_array_equal(canvas, want)
+        n2 = coder.decode_shell_streams(streams, prog_idx.view(np.uint8),
+                                        sid, 2, nq, nq, canvas)
+        assert n2 == 0
+        want = np.where(sid < nq, prog_sym, 0)
+        np.testing.assert_array_equal(canvas, want)
+        for s in streams:
+            s.close()
+
+    def test_decode_truncated_prefix(self, coder):
+        """Decoding from the transmission prefix for level k must yield
+        shells [0, k+1) exactly — the progressive decoder's real input."""
+        rng = np.random.default_rng(14)
+        m, nb, np_, nq = 2, 300, 2000, 4
+        base_sym, base_idx, prog_sym, prog_idx, sid = self._case(
+            rng, m, nb, np_, nq)
+        blobs, prefix = coder.encode_shell_batch(
+            base_sym.astype(np.int8), base_idx.view(np.uint8),
+            prog_sym.astype(np.int8), prog_idx.view(np.uint8), sid, nq)
+        k = 2  # receive only through shell 2
+        tails = [b[len(b) - int(prefix[i, k + 1]):]
+                 for i, b in enumerate(blobs)]
+        streams = [coder.stream_decoder(t) for t in tails]
+        got_base = coder.decode_streams(
+            streams, base_idx.astype(np.int32), [nb] * m).reshape(m, nb)
+        np.testing.assert_array_equal(got_base, base_sym)
+        canvas = np.zeros((m, np_), np.int16)
+        assert coder.decode_shell_streams(
+            streams, prog_idx.view(np.uint8), sid, 0, k + 1, nq,
+            canvas) == 0
+        np.testing.assert_array_equal(
+            canvas, np.where(sid <= k, prog_sym, 0))
+        for s in streams:
+            s.close()
+
+    def test_overflow_symbols_reported(self, coder):
+        """Escape-coded values beyond int16 come back via the overflow
+        list (the caller widens its canvas and patches them)."""
+        rng = np.random.default_rng(15)
+        m, nb, np_, nq = 1, 50, 400, 3
+        base_sym, base_idx, prog_sym, prog_idx, sid = self._case(
+            rng, m, nb, np_, nq)
+        hot = np.where(sid[0] < nq)[0][:3]
+        prog_sym[0, hot] = np.array([40000, -50000, 32768])
+        blobs, _ = coder.encode_shell_batch(
+            base_sym, base_idx.view(np.uint8),
+            prog_sym, prog_idx.view(np.uint8), sid, nq)
+        streams = [coder.stream_decoder(b) for b in blobs]
+        coder.decode_streams(streams, base_idx.astype(np.int32), [nb] * m)
+        canvas = np.zeros((m, np_), np.int16)
+        n_ovf = coder.decode_shell_streams(
+            streams, prog_idx.view(np.uint8), sid, 0, nq, nq, canvas)
+        assert n_ovf == 3
+        pos, val = coder._last_overflow
+        wide = canvas.astype(np.int32)
+        wide.reshape(-1)[pos] = val
+        np.testing.assert_array_equal(
+            wide, np.where(sid < nq, prog_sym, 0))
+        for s in streams:
+            s.close()
