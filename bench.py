@@ -306,8 +306,11 @@ def main():
                 t1 = time.time()
                 out = progressive_decode_all(codec, bs, rems=use_rems,
                                              y_checkpoints=cks_prev)
-                pending.append((per_level_psnr(out["x_hat"], x_prev),
-                                per_level_msssim(out["x_hat"], x_prev)))
+                # keep the device handles; PSNR/MS-SSIM run AFTER the
+                # timed region (they are measurement, not codec work —
+                # the sequential comparison sweep below likewise stops at
+                # x_hat, so the overlap ratio compares like with like)
+                pending.append((out["x_hat"], x_prev))
                 t_dec += time.time() - t1
                 bpp_sweeps.append(np.cumsum(
                     [bits[0] + bits[1]] + list(bits[2])) / px)
@@ -315,12 +318,15 @@ def main():
                 last_cks = cks_prev
             if k < n_sweeps:
                 x_prev, st_prev, cks_prev = x, st, cks
-        jax.block_until_ready([p for pm in pending for p in pm])
+        jax.block_until_ready([xh for xh, _ in pending])
         elapsed = time.time() - t0
         # metrics averaged over EVERY pipelined sweep (VERDICT r3 weak #6:
-        # last-sweep-only reporting silently capped the sample)
-        psnrs = np.mean([np.asarray(p) for p, _ in pending], axis=0)
-        msssim = np.mean([np.asarray(m) for _, m in pending], axis=0)
+        # last-sweep-only reporting silently capped the sample), computed
+        # on-device from the retained x_hat handles, outside the timing
+        psnrs = np.mean([np.asarray(per_level_psnr(xh, xp))
+                         for xh, xp in pending], axis=0)
+        msssim = np.mean([np.asarray(per_level_msssim(xh, xp))
+                          for xh, xp in pending], axis=0)
         bpp_levels = np.mean(bpp_sweeps, axis=0)
         rans_s = (codec.y_coder.stats["encode_s"]
                   + codec.y_coder.stats["decode_s"]
