@@ -62,7 +62,8 @@ def main(argv=None):
                          "mu_std": args.mu_std,
                          "rem_dimension": args.dimension}
         model, params, cfg, start_step = load_checkpoint(
-            args.checkpoint, config_overrides=overrides)
+            args.checkpoint, config_overrides=overrides,
+            disable_rems_if_missing=False)
         if args.model == "rem" and "post_latent_0" not in params:
             # PIC -> REM stage transition: fresh-init the REM banks, merge
             # the trained parent weights in (rem_pic.py:66-78 analog)

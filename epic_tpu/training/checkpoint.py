@@ -273,10 +273,18 @@ def _unflatten_tree(flat: Dict[str, Any]):
 
 
 def load_checkpoint(directory: str, which: str = "last",
-                    config_overrides: Optional[Dict[str, Any]] = None):
+                    config_overrides: Optional[Dict[str, Any]] = None,
+                    disable_rems_if_missing: bool = True):
     """Returns (model, params, config, step). The model is rebuilt from the
     saved config (with optional overrides, mirroring train.py:98-110's
-    REM-field overrides)."""
+    REM-field overrides).
+
+    disable_rems_if_missing: a 'rem' config whose checkpoint carries no
+    post_latent banks degrades to the plain PIC model with REMs off — the
+    reference's load_state_dict behavior (rem_pic.py:66-78), so a PIC
+    checkpoint loaded with REM overrides still yields a working codec.
+    The REM training stage passes False and fresh-inits the banks instead
+    (cli/train.py PIC->REM transition)."""
     directory = os.path.abspath(directory)
     with open(os.path.join(directory, "config.json")) as f:
         meta = json.load(f)
@@ -305,5 +313,15 @@ def load_checkpoint(directory: str, which: str = "last",
     if "cc_mean_0" in params or "post_latent_0_0" in params:
         # pre-scan per-slice layout
         params = stack_legacy_param_nets(params, model)
+    if (disable_rems_if_missing and name == "rem"
+            and "post_latent_0" not in params):
+        name = "pic"
+        for k in ("check_levels", "mu_std", "rem_dimension"):
+            config.pop(k, None)
+        model = get_model(name, **{
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in config.items()})
+        print("checkpoint has no REM banks — REMs disabled "
+              "(rem_pic.py:66-78 behavior)")
     config["model"] = name
     return model, params, config, meta.get("step", 0)

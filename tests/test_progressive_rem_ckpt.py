@@ -152,6 +152,96 @@ class TestCheckpointIO:
         assert tuple(model2.check_levels) == (0.1, 1.0)
 
 
+class TestREMDisableOnLoad:
+    def test_pic_checkpoint_as_rem_degrades_to_pic(self, tmp_path):
+        """A 'rem' load whose checkpoint has no post_latent banks returns
+        a working PIC codec with REMs off (reference load_state_dict,
+        rem_pic.py:66-78) instead of failing downstream."""
+        from epic_tpu.training import load_checkpoint, save_checkpoint
+
+        cfg_pic = {k: v for k, v in TINY_REM.items()
+                   if k not in ("check_levels", "rem_dimension")}
+        model = get_model("pic", **cfg_pic)
+        x = jax.random.uniform(jax.random.key(3), (1, 64, 64, 3))
+        v = model.init({"params": jax.random.key(4),
+                        "noise": jax.random.key(5)}, x, method="init_all")
+        d = str(tmp_path / "pic_ckpt")
+        save_checkpoint(d, v["params"], dict(cfg_pic, model="pic"))
+
+        model2, params2, cfg2, _ = load_checkpoint(
+            d, config_overrides={"model": "rem",
+                                 "check_levels": (0.5, 2.0),
+                                 "rem_dimension": "middle"})
+        assert cfg2["model"] == "pic"
+        assert type(model2).__name__ == "VarianceMaskingPIC"
+        codec = PICCodec(model2, {"params": params2})
+        out = codec.compress(x, quality=1.0)
+        rec = codec.decompress(out)
+        ref = codec.compress(x, quality=1.0, return_latents=True)
+        np.testing.assert_array_equal(np.asarray(rec["y_hat"]),
+                                      np.asarray(ref["y_hat"]))
+
+    def test_training_path_keeps_rem_model(self, tmp_path):
+        """disable_rems_if_missing=False (the PIC->REM stage transition)
+        still returns the REM model so the trainer can fresh-init banks."""
+        from epic_tpu.training import load_checkpoint, save_checkpoint
+
+        cfg_pic = {k: v for k, v in TINY_REM.items()
+                   if k not in ("check_levels", "rem_dimension")}
+        model = get_model("pic", **cfg_pic)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = model.init({"params": jax.random.key(6),
+                        "noise": jax.random.key(7)}, x, method="init_all")
+        d = str(tmp_path / "pic_ckpt2")
+        save_checkpoint(d, v["params"], dict(cfg_pic, model="pic"))
+        model2, _, cfg2, _ = load_checkpoint(
+            d, config_overrides={"model": "rem",
+                                 "check_levels": (0.5,)},
+            disable_rems_if_missing=False)
+        assert cfg2["model"] == "rem"
+        assert type(model2).__name__ == "VarianceMaskingPICREM"
+
+
+class TestExtendRemBanks:
+    def test_extend_reindexes_trained_bank(self, rem_codec, tmp_path):
+        """tools/extend_rem_banks: growing check_levels re-indexes trained
+        banks to the new index with the same lower bracket edge (bank j
+        covers (c_j, c_{j+1}], rem_pic.py:200-214) and fresh-inits only
+        the new brackets."""
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "tools"))
+        import extend_rem_banks
+        from epic_tpu.training import load_checkpoint, save_checkpoint
+
+        model, v, x, codec = rem_codec  # check_levels (0.5, 2.0)
+        cfg = dict(TINY_REM, model="rem")
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst" / "rems")
+        save_checkpoint(src, v["params"], cfg, step=3)
+        extend_rem_banks.main([src, dst, "--check_levels",
+                               "0.1", "0.5", "2.0"])
+        model2, params2, cfg2, step2 = load_checkpoint(dst)
+        assert tuple(model2.check_levels) == (0.1, 0.5, 2.0)
+        assert step2 == 0
+        # trained banks moved: old bank 0 (edge 0.5) -> new bank 1,
+        # old bank 1 (edge 2.0) -> new bank 2; bank 0 is fresh
+        for old_j, new_j in ((0, 1), (1, 2)):
+            a = jax.tree.leaves(v["params"][f"post_latent_{old_j}"])
+            b = jax.tree.leaves(params2[f"post_latent_{new_j}"])
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(pa),
+                                              np.asarray(pb))
+        fresh0 = jax.tree.leaves(params2["post_latent_0"])
+        old0 = jax.tree.leaves(v["params"]["post_latent_0"])
+        assert any(not np.array_equal(np.asarray(pa), np.asarray(pb))
+                   for pa, pb in zip(fresh0, old0))
+        # journal primes a resumable rems stage
+        with open(tmp_path / "dst" / "progress.json") as f:
+            import json
+            assert json.load(f)["stage"] == "rems"
+
+
 class TestDeviceExtract:
     def test_device_extract_bitwise_equals_codec_extract(self, rem_codec):
         """extract_checkpoint_device (device-only, no host entropy coding)
