@@ -135,7 +135,8 @@ def cmd_compress(args):
                   {"strings": out["strings"],
                    "shape": list(out["shape"]),
                    "quality": 0.0,
-                   "buffered": bool(out.get("buffered"))}],
+                   "buffered": bool(out.get("buffered")),
+                   "io_chain": bool(out.get("io_chain"))}],
               "meta": {"orig_size": [h, w], "single": True}}
     else:
         check_levels = (list(getattr(model, "check_levels", ()) or ())
@@ -148,7 +149,8 @@ def cmd_compress(args):
             ckpt_streams.append(
                 {"strings": out["strings"], "shape": list(out["shape"]),
                  "quality": float(cl),
-                 "buffered": bool(out.get("buffered"))})
+                 "buffered": bool(out.get("buffered")),
+                 "io_chain": bool(out.get("io_chain"))})
             # quality <= 0 compresses the base layer only, which returns
             # 'y_hat_base' instead of 'y_hat' (same selection logic as
             # PICCodec.extract_checkpoint)

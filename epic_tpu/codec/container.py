@@ -72,7 +72,12 @@ def dump_bitstreams(bs: Dict[str, Any]) -> bytes:
                     "stream" if "y" in bs else "messages")
     header: Dict[str, Any] = {"q_list": list(bs["q_list"]),
                               "shape": list(bs["shape"]),
-                              "layout": layout}
+                              "layout": layout,
+                              # which base-chain program family encoded
+                              # this stream (fused io-callback chain vs
+                              # per-slice interleave): the decoder runs
+                              # the same one
+                              "io_chain": bool(bs.get("io_chain"))}
     keys = ("z", "y") if layout == "stream" else ("z", "base",
                                                   "progressive")
     if layout == "stream":
@@ -128,7 +133,8 @@ def load_bitstreams(data: bytes) -> Dict[str, Any]:
         off += n
     out: Dict[str, Any] = {"q_list": header["q_list"],
                            "shape": tuple(header["shape"]),
-                           "layout": layout}
+                           "layout": layout,
+                           "io_chain": bool(header.get("io_chain"))}
     if layout == "stream":
         import numpy as np
 

@@ -21,11 +21,13 @@ with the TPU-native device<->host choreography from SURVEY.md §2.4/§3E:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import io_callback
 
 from ..entropy.bottleneck import EntropyBottleneck, build_bottleneck_cdf_tables
 from ..entropy.coder import RansCoder
@@ -34,11 +36,20 @@ from ..models.pic import VarianceMaskingPIC
 from ..ops import variance_mask
 
 
+def _as_chain(slices):
+    """Normalize a per-slice collection for jitted-program arguments:
+    stacked [S,...] device arrays (the fused io chain's outputs) pass
+    through unchanged; python lists become tuples. Inside jit both index
+    identically per slice, so downstream program code is shared."""
+    return slices if isinstance(slices, jnp.ndarray) else tuple(slices)
+
+
 class PICCodec:
     """Binds (model, variables) to entropy-coding state + jitted programs."""
 
     def __init__(self, model: VarianceMaskingPIC, variables,
-                 nthreads: int | None = None):
+                 nthreads: int | None = None,
+                 io_chain: Optional[bool] = None):
         self.model = model
         self.variables = variables
         self.gaussian = GaussianConditional().update()
@@ -46,6 +57,16 @@ class PICCodec:
         self._scale_table = jnp.asarray(self.gaussian.scale_table)
         self.update()
         self._jit_cache: Dict[Any, Any] = {}
+        if io_chain is None:
+            env = os.environ.get("EPIC_IO_CHAIN", "").lower()
+            io_chain = env != "0" if env else True
+        self.io_chain = bool(io_chain)
+        # per-call host state for the io_callback base chain: dispatch is
+        # async, so callbacks for call N can fire after call N+1 was
+        # dispatched — a global mode flag would race; a call id threaded
+        # through the program as a runtime operand keys the right state
+        self._io_calls: Dict[int, Dict[str, Any]] = {}
+        self._io_next = 1
 
     def update(self, force: bool = False):
         """(Re)build entropy tables from the current variables
@@ -75,7 +96,9 @@ class PICCodec:
                 z = self.model.apply(v, y,
                                      method=VarianceMaskingPIC.hyper_analysis)
                 z_sym = jnp.round(z - z_med).astype(jnp.int32)
-                return y, z_sym
+                # base channel block, pre-sliced for the fused base chain
+                # (a host-side y[..., :d0] would be its own tiny launch)
+                return y, y[..., :self.model.division[0]], z_sym
             return f
         return self._prog("front", make)
 
@@ -161,6 +184,119 @@ class PICCodec:
                     method=VarianceMaskingPIC.finish_base_slice_dyn)
             return f
         return self._prog("base_finish_dyn", make)
+
+    def _p_base_chain_io(self):
+        """The WHOLE interleaved base chain as ONE device program: a
+        lax.scan over slices whose per-slice host entropy coding is an
+        ordered `jax.experimental.io_callback`.
+
+        Shared VERBATIM by compress / progressive encode (call id 0 ==
+        'simulate': the callback returns the encoder's own symbols
+        unchanged), decompress / progressive decode (a registered call id:
+        the callback rANS-decodes slice i from the registered strings or
+        stream decoders), and extract_checkpoint_device (id 0). One
+        executable on every side keeps the entropy parameters bitwise
+        identical by construction — the invariant the per-slice program
+        structure existed to protect — while replacing ~3*ns0 tiny
+        launches (~30 ms each through the tunnel, artifacts/
+        profile_r4.json) with a single one.
+
+        Inputs: y_base [B,h,w,ns0*c] (the decoder passes lm_b — same
+        shape/dtype; its values only feed the encoder-side symbols, which
+        'dec' callbacks ignore). Returns stacked
+        (y_hat_s, mu_s, scale_s, idx_s int8, sym8, sym16, flag8, ovf):
+        flag8/ovf report the encoder-side symbol range (int8 fetch width /
+        int16 overflow -> fall back to the interleaved path); both are
+        garbage when y_base is a dummy.
+        Reference behavior: pic.py:862-903 (per-slice interleave).
+        """
+        def make():
+            model = self.model
+            ns0, c = model.ns0, model.dim_chunk
+
+            def f(v, cid, y_base, lm_b, ls_b):
+                n = max(model._n_slots_base, 1)
+                b, h, w = lm_b.shape[0], lm_b.shape[1], lm_b.shape[2]
+                buf0 = jnp.zeros((n, b, h, w, c), jnp.float32)
+                y_s = jnp.moveaxis(
+                    y_base.reshape(b, h, w, ns0, c), 3, 0)
+
+                def body(buf, xs):
+                    i, y_i = xs
+                    mu, scale, msup = model.apply(
+                        v, lm_b, ls_b, buf, i,
+                        method=VarianceMaskingPIC.base_slice_params_dyn)
+                    idx = build_indexes(scale, self._scale_table,
+                                        model.scale_bound).astype(jnp.int8)
+                    sym_enc = jnp.round(y_i - mu)
+                    ovf = (jnp.abs(sym_enc) > 32000).any()
+                    flag8 = (jnp.abs(sym_enc) > 127).any()
+                    sym = io_callback(
+                        self._base_io_cb,
+                        jax.ShapeDtypeStruct(y_i.shape, jnp.int16),
+                        cid, i, idx, sym_enc.astype(jnp.int16),
+                        ordered=True)
+                    y_hat = sym.astype(jnp.float32) + mu
+                    y_hat, buf = model.apply(
+                        v, y_hat, msup, buf, i,
+                        method=VarianceMaskingPIC.finish_base_slice_dyn)
+                    return buf, (y_hat, mu, scale, idx, sym, flag8, ovf)
+
+                idx_i = jnp.arange(ns0, dtype=jnp.int32)
+                _, (y_hat_s, mu_s, scale_s, idx_s, sym_s, f8, ovf) = \
+                    jax.lax.scan(body, buf0, (idx_i, y_s))
+                return (y_hat_s, mu_s, scale_s, idx_s,
+                        sym_s.astype(jnp.int8), sym_s,
+                        f8.any(), ovf.any())
+            return f
+        return self._prog("base_chain_io", make)
+
+    def _base_io_cb(self, cid, i, idx, sym16) -> np.ndarray:
+        """Host side of _p_base_chain_io. cid 0 = simulate (encoder /
+        device-extract): return the encoder's symbols unchanged. Any other
+        cid keys a registered decode state: rANS-decode slice i with the
+        callback-provided CDF indexes, from either per-slice strings or
+        the stateful single-stream decoders."""
+        cid = int(cid)
+        if cid == 0:
+            return np.asarray(sym16)
+        st = self._io_calls[cid]
+        idx_np = np.asarray(idx).astype(np.int32)
+        if st.get("streams") is not None:
+            nb = idx_np.shape[0]
+            per = idx_np[0].size
+            sym = self.y_coder.decode_streams(
+                st["streams"], idx_np, [per] * nb).reshape(idx_np.shape)
+        else:
+            sym = self._decode_slice(st["strings"][int(i)], idx_np)
+        st["n_left"] -= 1
+        if st["n_left"] <= 0:
+            del self._io_calls[cid]
+        return sym.astype(np.int16)
+
+    def _base_chain_call(self, v, y_base, lm_b, ls_b,
+                         strings=None, streams=None):
+        """Dispatch the fused base chain. Without strings/streams: simulate
+        mode (id 0). With them: register a decode state under a fresh call
+        id (freed by the final slice's callback)."""
+        if strings is None and streams is None:
+            cid = 0
+        else:
+            cid = self._io_next
+            self._io_next += 1
+            self._io_calls[cid] = {"strings": strings, "streams": streams,
+                                   "n_left": self.model.ns0}
+        return self._p_base_chain_io()(v, np.int32(cid), y_base, lm_b, ls_b)
+
+    def _p_stack_chan(self):
+        """[S,B,h,w,c] stacked slices -> [B,h,w,S*c] channel concat (the
+        host-level jnp.concatenate over a slice list, as one program)."""
+        def make():
+            def f(a):
+                s, b, h, w, c = a.shape
+                return jnp.moveaxis(a, 0, 3).reshape(b, h, w, s * c)
+            return f
+        return self._prog("stack_chan", make)
 
     def _p_synth_base(self):
         def make():
@@ -503,7 +639,7 @@ class PICCodec:
         """
         v = self.variables
         x = jnp.asarray(x)
-        y, z_sym_dev = self._p_front()(v, x, self._z_med_dev)
+        y, y_base, z_sym_dev = self._p_front()(v, x, self._z_med_dev)
         z_sym = np.asarray(jax.device_get(z_sym_dev))
         z_strings = self._encode_z(z_sym)
         z_shape = z_sym.shape[1:3]
@@ -514,42 +650,60 @@ class PICCodec:
 
         # --- base chain: encoder simulates decoder ---
         y_strings: List[List[bytes]] = []
-        y_hat_slices: List[jnp.ndarray] = []
-        mus_b, scales_b = [], []
-        s8s, s16s, s32s, flags8, flags16, idx_host = [], [], [], [], [], []
         c = self.model.dim_chunk
         ns0 = self.model.ns0
-        buf = self._base_buf0(lm_b)
-        # the SAME fused step program the decoder runs (finish(i) +
-        # params(i+1) in one dispatch) — identical program instances on
-        # both sides keep the entropy params bitwise equal by construction
-        mu, scale, idx, msup = self._p_base_params()(
-            v, lm_b, ls_b, buf, np.int32(0))
-        for i in range(ns0):
-            y_i = y[..., i * c:(i + 1) * c]
-            s8, s16, s32, fl8, fl16 = self._p_base_sym()(y_i, mu)
-            mus_b.append(mu)
-            scales_b.append(scale)
-            idx_host.append(idx)
-            if i + 1 < ns0:
-                y_hat, buf, mu, scale, idx, msup = self._p_base_step()(
-                    v, s32, mu, msup, buf, np.int32(i), lm_b, ls_b)
-            else:
-                y_hat, buf = self._p_base_finish()(v, s32, mu, msup, buf,
-                                                   np.int32(i))
-            y_hat_slices.append(y_hat)
-            s8s.append(s8)
-            s16s.append(s16)
-            s32s.append(s32)
-            flags8.append(fl8)
-            flags16.append(fl16)
-        # one compact transfer for all slices' symbols+indexes (int8/int8;
-        # tunnel D2H is the bottleneck), int16/int32 fallback on overflow
-        sym_np = self._get_sym(jnp.stack(s8s), jnp.stack(s16s),
-                               jnp.stack(s32s), jnp.stack(flags8).any(),
-                               jnp.stack(flags16).any())
-        idx_np = np.asarray(jax.device_get(jnp.stack(idx_host))).astype(
-            np.int32)
+        use_io = self.io_chain
+        if use_io:
+            (y_hat_s, mu_s_b, scale_s_b, idx_s, s8, s16, fl8, ovf) = \
+                self._base_chain_call(v, y_base, lm_b, ls_b)
+            if bool(jax.device_get(ovf)):
+                use_io = False  # symbols exceed int16 (untrained model /
+                # pathological input): redo via the interleaved path
+        if use_io:
+            y_hat_slices: Any = y_hat_s
+            mus_b: Any = mu_s_b
+            scales_b: Any = scale_s_b
+            sym_np = np.asarray(jax.device_get(
+                s16 if bool(jax.device_get(fl8)) else s8))
+            idx_np = np.asarray(jax.device_get(idx_s)).astype(np.int32)
+        else:
+            y_hat_slices = []
+            mus_b, scales_b = [], []
+            s8s, s16s, s32s, flags8, flags16, idx_host = \
+                [], [], [], [], [], []
+            buf = self._base_buf0(lm_b)
+            # the SAME fused step program the decoder runs (finish(i) +
+            # params(i+1) in one dispatch) — identical program instances on
+            # both sides keep the entropy params bitwise equal by
+            # construction
+            mu, scale, idx, msup = self._p_base_params()(
+                v, lm_b, ls_b, buf, np.int32(0))
+            for i in range(ns0):
+                y_i = y[..., i * c:(i + 1) * c]
+                s8, s16, s32, fl8, fl16 = self._p_base_sym()(y_i, mu)
+                mus_b.append(mu)
+                scales_b.append(scale)
+                idx_host.append(idx)
+                if i + 1 < ns0:
+                    y_hat, buf, mu, scale, idx, msup = self._p_base_step()(
+                        v, s32, mu, msup, buf, np.int32(i), lm_b, ls_b)
+                else:
+                    y_hat, buf = self._p_base_finish()(v, s32, mu, msup,
+                                                       buf, np.int32(i))
+                y_hat_slices.append(y_hat)
+                s8s.append(s8)
+                s16s.append(s16)
+                s32s.append(s32)
+                flags8.append(fl8)
+                flags16.append(fl16)
+            # one compact transfer for all slices' symbols+indexes
+            # (int8/int8; tunnel D2H is the bottleneck), int16/int32
+            # fallback on overflow
+            sym_np = self._get_sym(jnp.stack(s8s), jnp.stack(s16s),
+                                   jnp.stack(s32s), jnp.stack(flags8).any(),
+                                   jnp.stack(flags16).any())
+            idx_np = np.asarray(jax.device_get(jnp.stack(idx_host))).astype(
+                np.int32)
         if raw_base and quality <= 0:
             pass  # caller entropy-codes the base itself (single-stream)
         elif buffered and quality <= 0:
@@ -569,20 +723,29 @@ class PICCodec:
             "shape": tuple(int(s) for s in z_shape),
             "quality": float(quality),
             "buffered": bool(buffered and quality <= 0),
+            "io_chain": bool(use_io),
         }
         if quality <= 0:
             if raw_base:
                 out["_base_sym_np"] = sym_np
                 out["_base_idx_np"] = idx_np
             if return_latents:
-                out["mean_base"] = jnp.concatenate(mus_b, axis=-1)
-                out["scale_base"] = jnp.concatenate(scales_b, axis=-1)
-                out["y_hat_base"] = jnp.concatenate(y_hat_slices, axis=-1)
+                if use_io:
+                    out["mean_base"] = self._p_stack_chan()(mus_b)
+                    out["scale_base"] = self._p_stack_chan()(scales_b)
+                    out["y_hat_base"] = self._p_stack_chan()(y_hat_slices)
+                else:
+                    out["mean_base"] = jnp.concatenate(mus_b, axis=-1)
+                    out["scale_base"] = jnp.concatenate(scales_b, axis=-1)
+                    out["y_hat_base"] = jnp.concatenate(y_hat_slices,
+                                                        axis=-1)
                 # device handles so downstream stages (progressive encode)
                 # can reuse the front/hyper work instead of recomputing it;
                 # never serialized (strip before dump_bitstreams)
                 out["_device"] = {"y": y, "lm": lm, "ls": ls,
-                                  "base_slices": tuple(y_hat_slices)}
+                                  "base_slices": _as_chain(y_hat_slices),
+                                  "mus_b": _as_chain(mus_b),
+                                  "scales_b": _as_chain(scales_b)}
             return out
 
         if not self.model.all_scalable:
@@ -594,11 +757,12 @@ class PICCodec:
         if checkpoint_rep is not None:
             mu_s, scale_s, mask, idx, msups = self._p_prog_params(
                 float(quality), True)(
-                v, tuple(y_hat_slices), lm, ls, jnp.asarray(checkpoint_rep),
-                tuple(mus_b), tuple(scales_b))
+                v, _as_chain(y_hat_slices), lm, ls,
+                jnp.asarray(checkpoint_rep),
+                _as_chain(mus_b), _as_chain(scales_b))
         else:
             mu_s, scale_s, mask, idx, msups = self._p_prog_params(
-                float(quality))(v, tuple(y_hat_slices), lm, ls)
+                float(quality))(v, _as_chain(y_hat_slices), lm, ls)
         s8, s16, s32, fl8, fl16 = self._p_prog_sym()(y, mu_s, mask)
         sym_np = self._get_sym(s8, s16, s32, fl8, fl16)
         idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
@@ -607,7 +771,7 @@ class PICCodec:
 
         if return_latents:
             x_hat, y_prog = self._p_prog_reconstruct()(
-                v, s32, mu_s, msups, tuple(y_hat_slices))
+                v, s32, mu_s, msups, _as_chain(y_hat_slices))
             out["y_hat"] = y_prog
         return out
 
@@ -708,40 +872,47 @@ class PICCodec:
         programs."""
         v = self.variables
         x = jnp.asarray(x)
-        y, z_sym_dev = self._p_front()(v, x, self._z_med_dev)
+        y, y_base, z_sym_dev = self._p_front()(v, x, self._z_med_dev)
         lm, ls = self._p_zhat_hyper(False)(v, z_sym_dev, self._z_med_dev)
         lm_b = lm[..., :self.model.division[0]]
         ls_b = ls[..., :self.model.division[0]]
         ns0, c = self.model.ns0, self.model.dim_chunk
-        buf = self._base_buf0(lm_b)
-        y_hat_slices, mus_b, scales_b = [], [], []
-        mu, scale, idx, msup = self._p_base_params()(
-            v, lm_b, ls_b, buf, np.int32(0))
-        for i in range(ns0):
-            y_i = y[..., i * c:(i + 1) * c]
-            _, _, s32, _, _ = self._p_base_sym()(y_i, mu)
-            mus_b.append(mu)
-            scales_b.append(scale)
-            if i + 1 < ns0:
-                y_hat, buf, mu, scale, idx, msup = self._p_base_step()(
-                    v, s32, mu, msup, buf, np.int32(i), lm_b, ls_b)
-            else:
-                y_hat, buf = self._p_base_finish()(v, s32, mu, msup, buf,
-                                                   np.int32(i))
-            y_hat_slices.append(y_hat)
+        if self.io_chain:
+            (y_hat_slices, mus_b, scales_b, _, _, _, _, _) = \
+                self._base_chain_call(v, y_base, lm_b, ls_b)
+        else:
+            buf = self._base_buf0(lm_b)
+            y_hat_slices, mus_b, scales_b = [], [], []
+            mu, scale, idx, msup = self._p_base_params()(
+                v, lm_b, ls_b, buf, np.int32(0))
+            for i in range(ns0):
+                y_i = y[..., i * c:(i + 1) * c]
+                _, _, s32, _, _ = self._p_base_sym()(y_i, mu)
+                mus_b.append(mu)
+                scales_b.append(scale)
+                if i + 1 < ns0:
+                    y_hat, buf, mu, scale, idx, msup = self._p_base_step()(
+                        v, s32, mu, msup, buf, np.int32(i), lm_b, ls_b)
+                else:
+                    y_hat, buf = self._p_base_finish()(v, s32, mu, msup,
+                                                       buf, np.int32(i))
+                y_hat_slices.append(y_hat)
         if quality <= 0:
+            if self.io_chain:
+                return self._p_stack_chan()(y_hat_slices)
             return jnp.concatenate(y_hat_slices, axis=-1)
         if checkpoint_rep is not None:
             mu_s, scale_s, mask, idx, msups = self._p_prog_params(
                 float(quality), True)(
-                v, tuple(y_hat_slices), lm, ls, jnp.asarray(checkpoint_rep),
-                tuple(mus_b), tuple(scales_b))
+                v, _as_chain(y_hat_slices), lm, ls,
+                jnp.asarray(checkpoint_rep),
+                _as_chain(mus_b), _as_chain(scales_b))
         else:
             mu_s, scale_s, mask, idx, msups = self._p_prog_params(
-                float(quality))(v, tuple(y_hat_slices), lm, ls)
+                float(quality))(v, _as_chain(y_hat_slices), lm, ls)
         _, _, s32, _, _ = self._p_prog_sym()(y, mu_s, mask)
         _, y_prog = self._p_prog_reconstruct()(
-            v, s32, mu_s, msups, tuple(y_hat_slices))
+            v, s32, mu_s, msups, _as_chain(y_hat_slices))
         return y_prog
 
     def decompress(self, bitstream: Dict[str, Any],
@@ -772,39 +943,57 @@ class PICCodec:
             streams = [self.y_coder.stream_decoder(s)
                        for s in y_strings[0]]
 
-        y_hat_slices: List[jnp.ndarray] = []
-        mus_b, scales_b = [], []
-        buf = self._base_buf0(lm_b)
         ns0 = self.model.ns0
-        mu, scale, idx, msup = self._p_base_params()(
-            v, lm_b, ls_b, buf, np.int32(0))
-        for i in range(ns0):
-            idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
-            if buffered:
-                nb = idx_np.shape[0]
-                per = idx_np[0].size
-                sym = self.y_coder.decode_streams(
-                    streams, idx_np, [per] * nb).reshape(idx_np.shape)
-            else:
-                sym = self._decode_slice(y_strings[i], idx_np)
-            mus_b.append(mu)
-            scales_b.append(scale)
-            if i + 1 < ns0:
-                # fused finish(i) + params(i+1): one dispatch per slice
-                y_hat, buf, mu, scale, idx, msup = self._p_base_step()(
-                    v, self._h2d_sym(sym), mu, msup, buf, np.int32(i),
-                    lm_b, ls_b)
-                idx.copy_to_host_async()
-            else:
-                y_hat, buf = self._p_base_finish()(
-                    v, self._h2d_sym(sym), mu, msup, buf, np.int32(i))
-            y_hat_slices.append(y_hat)
+        if bitstream.get("io_chain"):
+            # the encoder ran the fused io-callback chain — run the SAME
+            # program with the host rANS behind the callbacks (lm_b stands
+            # in for the unknown y: its values only feed the ignored
+            # encoder-side symbols)
+            (y_hat_slices, mus_b, scales_b, _, _, _, _, _) = \
+                self._base_chain_call(
+                    v, lm_b, lm_b, ls_b,
+                    strings=None if buffered else y_strings,
+                    streams=streams)
+        else:
+            y_hat_slices = []
+            mus_b, scales_b = [], []
+            buf = self._base_buf0(lm_b)
+            mu, scale, idx, msup = self._p_base_params()(
+                v, lm_b, ls_b, buf, np.int32(0))
+            for i in range(ns0):
+                idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
+                if buffered:
+                    nb = idx_np.shape[0]
+                    per = idx_np[0].size
+                    sym = self.y_coder.decode_streams(
+                        streams, idx_np, [per] * nb).reshape(idx_np.shape)
+                else:
+                    sym = self._decode_slice(y_strings[i], idx_np)
+                mus_b.append(mu)
+                scales_b.append(scale)
+                if i + 1 < ns0:
+                    # fused finish(i) + params(i+1): one dispatch per slice
+                    y_hat, buf, mu, scale, idx, msup = self._p_base_step()(
+                        v, self._h2d_sym(sym), mu, msup, buf, np.int32(i),
+                        lm_b, ls_b)
+                    idx.copy_to_host_async()
+                else:
+                    y_hat, buf = self._p_base_finish()(
+                        v, self._h2d_sym(sym), mu, msup, buf, np.int32(i))
+                y_hat_slices.append(y_hat)
         if streams:
-            for s in streams:
-                s.close()
+            if bitstream.get("io_chain") and quality <= 0:
+                # callbacks consume the streams asynchronously: sync on a
+                # chain output before closing them (q > 0 paths sync when
+                # they fetch the progressive indexes)
+                jax.block_until_ready(scales_b)
+            if quality <= 0 or not bitstream.get("io_chain"):
+                for s in streams:
+                    s.close()
 
         if quality <= 0:
-            x_hat, y_hat_b = self._p_synth_base()(v, tuple(y_hat_slices))
+            x_hat, y_hat_b = self._p_synth_base()(v,
+                                                  _as_chain(y_hat_slices))
             return {"x_hat": x_hat, "y_hat": y_hat_b}
 
         if not self.model.all_scalable:
@@ -815,18 +1004,21 @@ class PICCodec:
         if checkpoint_rep is not None:
             mu_s, scale_s, mask, idx, msups = self._p_prog_params(
                 float(quality), True)(
-                v, tuple(y_hat_slices), lm, ls, jnp.asarray(checkpoint_rep),
-                tuple(mus_b), tuple(scales_b))
+                v, _as_chain(y_hat_slices), lm, ls,
+                jnp.asarray(checkpoint_rep),
+                _as_chain(mus_b), _as_chain(scales_b))
         else:
             mu_s, scale_s, mask, idx, msups = self._p_prog_params(
-                float(quality))(v, tuple(y_hat_slices), lm, ls)
+                float(quality))(v, _as_chain(y_hat_slices), lm, ls)
         idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
-        ns0 = self.model.ns0
+        if streams and bitstream.get("io_chain"):
+            for s in streams:  # idx fetch above synced past the base chain
+                s.close()
         sym_list = [
             self._decode_slice(y_strings[ns0 + i], idx_np[i])
             for i in range(self.model.ns1 - ns0)
         ]
         sym_s = self._h2d_sym(np.stack(sym_list))
         x_hat, y_prog = self._p_prog_reconstruct()(
-            v, sym_s, mu_s, msups, tuple(y_hat_slices))
+            v, sym_s, mu_s, msups, _as_chain(y_hat_slices))
         return {"x_hat": x_hat, "y_hat": y_prog}

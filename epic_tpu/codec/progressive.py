@@ -95,7 +95,9 @@ def _sort_flat(arr_np, order):
 def progressive_encode_start(codec: PICCodec, x,
                              q_list: Optional[Sequence[float]] = None,
                              rems: bool = False,
-                             y_checkpoints=None) -> Dict[str, Any]:
+                             y_checkpoints=None,
+                             force_io: Optional[bool] = None
+                             ) -> Dict[str, Any]:
     """Device phase of the single-stream progressive encoder: dispatches
     every device program for this image batch and starts the async
     device->host copies, WITHOUT any host synchronization. Pair with
@@ -111,56 +113,93 @@ def progressive_encode_start(codec: PICCodec, x,
     x = jnp.asarray(x)
     c = model.dim_chunk
 
-    y, z_sym_dev = codec._p_front()(v, x, codec._z_med_dev)
+    y, y_base, z_sym_dev = codec._p_front()(v, x, codec._z_med_dev)
     lm, ls = codec._p_zhat_hyper(False)(v, z_sym_dev, codec._z_med_dev)
     lm_b = lm[..., :model.division[0]]
     ls_b = ls[..., :model.division[0]]
 
     # base chain: device-only on the encoder side (it knows all symbols),
-    # via the SAME fused step program the decoder runs — identical
-    # program instances keep entropy params bitwise equal by construction
-    buf = codec._base_buf0(lm_b)
-    y_hat_slices: List[jnp.ndarray] = []
-    mus_b, scales_b = [], []
-    s8s, s16s, s32s, flags8, flags16, idxs = [], [], [], [], [], []
+    # via the SAME program the decoder runs — identical program instances
+    # keep entropy params bitwise equal by construction. Default: the
+    # fused io-callback chain (ONE launch, PICCodec._p_base_chain_io);
+    # fallback: the per-slice fused-step interleave.
     ns0 = model.ns0
-    mu, scale, idx, msup = codec._p_base_params()(
-        v, lm_b, ls_b, buf, np.int32(0))
-    for i in range(ns0):
-        y_i = y[..., i * c:(i + 1) * c]
-        s8, s16, s32, fl8, fl16 = codec._p_base_sym()(y_i, mu)
-        mus_b.append(mu)
-        scales_b.append(scale)
-        idxs.append(idx)
-        if i + 1 < ns0:
-            y_hat, buf, mu, scale, idx, msup = codec._p_base_step()(
-                v, s32, mu, msup, buf, np.int32(i), lm_b, ls_b)
-        else:
-            y_hat, buf = codec._p_base_finish()(v, s32, mu, msup, buf,
-                                                np.int32(i))
-        y_hat_slices.append(y_hat)
-        s8s.append(s8)
-        s16s.append(s16)
-        s32s.append(s32)
-        flags8.append(fl8)
-        flags16.append(fl16)
-    base_s8 = jnp.stack(s8s)
-    base_s16 = jnp.stack(s16s)
-    base_s32 = jnp.stack(s32s)
-    base_idx = jnp.stack(idxs)
-    base_flag8 = jnp.stack(flags8).any()
-    base_flag16 = jnp.stack(flags16).any()
+    io = codec.io_chain if force_io is None else force_io
+    if io:
+        (y_hat_slices, mus_b, scales_b, base_idx, base_s8, base_s16,
+         base_flag8, base_flag16) = codec._base_chain_call(
+            v, y_base, lm_b, ls_b)
+        base_s32 = base_s16  # int16 overflow falls back via base_flag16
+    else:
+        buf = codec._base_buf0(lm_b)
+        y_hat_slices = []
+        mus_b, scales_b = [], []
+        s8s, s16s, s32s, flags8, flags16, idxs = [], [], [], [], [], []
+        mu, scale, idx, msup = codec._p_base_params()(
+            v, lm_b, ls_b, buf, np.int32(0))
+        for i in range(ns0):
+            y_i = y[..., i * c:(i + 1) * c]
+            s8, s16, s32, fl8, fl16 = codec._p_base_sym()(y_i, mu)
+            mus_b.append(mu)
+            scales_b.append(scale)
+            idxs.append(idx)
+            if i + 1 < ns0:
+                y_hat, buf, mu, scale, idx, msup = codec._p_base_step()(
+                    v, s32, mu, msup, buf, np.int32(i), lm_b, ls_b)
+            else:
+                y_hat, buf = codec._p_base_finish()(v, s32, mu, msup, buf,
+                                                    np.int32(i))
+            y_hat_slices.append(y_hat)
+            s8s.append(s8)
+            s16s.append(s16)
+            s32s.append(s32)
+            flags8.append(fl8)
+            flags16.append(fl16)
+        base_s8 = jnp.stack(s8s)
+        base_s16 = jnp.stack(s16s)
+        base_s32 = jnp.stack(s32s)
+        base_idx = jnp.stack(idxs)
+        base_flag8 = jnp.stack(flags8).any()
+        base_flag16 = jnp.stack(flags16).any()
+
+    from .pic_codec import _as_chain
+
+    auto_ckpts = None
+    if (rems and y_checkpoints is None
+            and getattr(model, "check_levels", None)):
+        # AUTO checkpoint extraction fused into the encode: the chained
+        # check-level latents (reference demo.py:86-93) via the SAME
+        # shared programs as extract_checkpoint_device, but reusing THIS
+        # encode's front/hyper/base work instead of recomputing it per
+        # level (2 extra full front+base chains per sweep at 2 levels).
+        # Bitwise equal to extract_checkpoint[_device]: identical program
+        # instances on identical inputs.
+        y_checkpoints, prev = [], None
+        for cl in model.check_levels:
+            if prev is None:
+                mu_c, _, mask_c, _, msups_c = codec._p_prog_params(
+                    float(cl))(v, _as_chain(y_hat_slices), lm, ls)
+            else:
+                mu_c, _, mask_c, _, msups_c = codec._p_prog_params(
+                    float(cl), True)(
+                    v, _as_chain(y_hat_slices), lm, ls, prev,
+                    _as_chain(mus_b), _as_chain(scales_b))
+            _, _, s32_c, _, _ = codec._p_prog_sym()(y, mu_c, mask_c)
+            _, prev = codec._p_prog_reconstruct()(
+                v, s32_c, mu_c, msups_c, _as_chain(y_hat_slices))
+            y_checkpoints.append(prev)
+        auto_ckpts = y_checkpoints
 
     if rems and y_checkpoints:
         mu_s, scale_s, idx_full, msups = codec._p_prog_params_rem_chain(
-            len(y_checkpoints))(v, tuple(y_hat_slices), lm, ls,
+            len(y_checkpoints))(v, _as_chain(y_hat_slices), lm, ls,
                                 tuple(jnp.asarray(ck)
                                       for ck in y_checkpoints),
-                                tuple(mus_b), tuple(scales_b))
+                                _as_chain(mus_b), _as_chain(scales_b))
         mask1 = jnp.ones_like(scale_s)
     else:
         mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(10.0)(
-            v, tuple(y_hat_slices), lm, ls)
+            v, _as_chain(y_hat_slices), lm, ls)
     p8, p16, p32, pflag8, pflag16 = codec._p_prog_sym()(y, mu_s, mask1)
     sid = _p_shell_ids(codec, tuple(q_list))(scale_s)
 
@@ -175,12 +214,15 @@ def progressive_encode_start(codec: PICCodec, x,
         "base_s8": base_s8, "base_s16": base_s16, "base_s32": base_s32,
         "base_idx": base_idx,
         "base_flag8": base_flag8, "base_flag16": base_flag16,
+        "io_chain": io, "x": x, "rems": rems, "ckpts": y_checkpoints,
+        "auto_ckpts": auto_ckpts,
         "p8": p8, "p16": p16, "p32": p32,
         "pflag8": pflag8, "pflag16": pflag16,
         "idx_full": idx_full, "sid": sid,
         # device handles for callers reusing the encoder's work
-        "y": y, "lm": lm, "ls": ls, "base_slices": tuple(y_hat_slices),
-        "mu_s": mu_s, "msups": msups,
+        "y": y, "lm": lm, "ls": ls,
+        "base_slices": _as_chain(y_hat_slices),
+        "mu_s": mu_s, "scale_s": scale_s, "msups": msups,
     }
 
 
@@ -201,6 +243,14 @@ def progressive_encode_finish(codec: PICCodec,
         return time.time()
 
     t = time.time()
+    if st.get("io_chain") and bool(jax.device_get(st["base_flag16"])):
+        # base symbols exceed int16 (untrained model / pathological
+        # input): the io chain's payload width can't carry them — redo
+        # this batch through the interleaved path (int32-capable)
+        st2 = progressive_encode_start(codec, st["x"], q_list,
+                                       st.get("rems", False),
+                                       st.get("ckpts"), force_io=False)
+        return progressive_encode_finish(codec, st2, timing)
     z_sym = np.asarray(jax.device_get(st["z_sym"]))
     base_sym = codec._get_sym(st["base_s8"], st["base_s16"],
                               st["base_s32"], st["base_flag8"],
@@ -237,6 +287,7 @@ def progressive_encode_finish(codec: PICCodec,
         "z": z_strings,
         "y": blobs,
         "prefix": prefix,
+        "io_chain": bool(st.get("io_chain")),
     }
     bits_z = sum(len(s) for s in z_strings) * 8.0
     bits_base = float(prefix[:, 0].sum()) * 8.0
@@ -299,10 +350,8 @@ def progressive_encode(codec: PICCodec, x,
     # quality-independent entropy params; q=10 -> all-ones mask, unmasked
     # indexes (functions_encode.py:153-158 quantizes everything once)
     if rems and y_checkpoints:
-        mu_b = tuple(out_base["mean_base"][..., i * c:(i + 1) * c]
-                     for i in range(codec.model.ns0))
-        std_b = tuple(out_base["scale_base"][..., i * c:(i + 1) * c]
-                      for i in range(codec.model.ns0))
+        mu_b = dev["mus_b"]
+        std_b = dev["scales_b"]
         mu_s, scale_s, idx_full, msups = codec._p_prog_params_rem_chain(
             len(y_checkpoints))(v, base_slices, lm, ls,
                                 tuple(jnp.asarray(ck)
@@ -358,6 +407,7 @@ def progressive_encode(codec: PICCodec, x,
         "z": z_strings,
         "base": y_strings,
         "progressive": shells,
+        "io_chain": bool(out_base.get("io_chain")),
     }
     bits_base = sum(len(s) for sl in y_strings for s in sl) * 8.0
     return bitstreams, [bits_z, bits_base, bits_prog]
@@ -394,36 +444,50 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
                                 for s in bitstreams["y"]]
         lm_b = lm[..., :codec.model.division[0]]
         ls_b = ls[..., :codec.model.division[0]]
-        y_hat_slices: List[jnp.ndarray] = []
-        mu_b, std_b = [], []
-        buf = codec._base_buf0(lm_b)
         ns0 = codec.model.ns0
-        mu, scale, idx, msup = codec._p_base_params()(
-            v, lm_b, ls_b, buf, np.int32(0))
-        for i in range(ns0):
-            idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
-            if stream:
-                nb = idx_np.shape[0]
-                per = idx_np[0].size
-                sym = codec.y_coder.decode_streams(
-                    cache["streams"], idx_np, [per] * nb).reshape(
-                        idx_np.shape)
-            else:
-                sym = codec._decode_slice(bitstreams["base"][i], idx_np)
-            mu_b.append(mu)
-            std_b.append(scale)
-            if i + 1 < ns0:
-                # fused finish(i) + params(i+1): one dispatch per slice
-                y_hat, buf, mu, scale, idx, msup = codec._p_base_step()(
-                    v, codec._h2d_sym(sym), mu, msup, buf, np.int32(i),
-                    lm_b, ls_b)
-                idx.copy_to_host_async()
-            else:
-                y_hat, buf = codec._p_base_finish()(
-                    v, codec._h2d_sym(sym), mu, msup, buf, np.int32(i))
-            y_hat_slices.append(y_hat)
-        cache["base"] = tuple(y_hat_slices)
-        cache["base_params"] = (tuple(mu_b), tuple(std_b))
+        if bitstreams.get("io_chain"):
+            # the encoder ran the fused io-callback chain: run the SAME
+            # program with the host rANS behind the callbacks. The stream
+            # decoders are consumed asynchronously as the program
+            # executes; every later use of them (shell decode) is behind
+            # a host fetch that syncs past the chain.
+            (y_hat_s, mu_b_s, std_b_s, _, _, _, _, _) = \
+                codec._base_chain_call(
+                    v, lm_b, lm_b, ls_b,
+                    strings=None if stream else bitstreams["base"],
+                    streams=cache.get("streams"))
+            cache["base"] = y_hat_s
+            cache["base_params"] = (mu_b_s, std_b_s)
+        else:
+            y_hat_slices: List[jnp.ndarray] = []
+            mu_b, std_b = [], []
+            buf = codec._base_buf0(lm_b)
+            mu, scale, idx, msup = codec._p_base_params()(
+                v, lm_b, ls_b, buf, np.int32(0))
+            for i in range(ns0):
+                idx_np = np.asarray(jax.device_get(idx)).astype(np.int32)
+                if stream:
+                    nb = idx_np.shape[0]
+                    per = idx_np[0].size
+                    sym = codec.y_coder.decode_streams(
+                        cache["streams"], idx_np, [per] * nb).reshape(
+                            idx_np.shape)
+                else:
+                    sym = codec._decode_slice(bitstreams["base"][i], idx_np)
+                mu_b.append(mu)
+                std_b.append(scale)
+                if i + 1 < ns0:
+                    # fused finish(i) + params(i+1): one dispatch per slice
+                    y_hat, buf, mu, scale, idx, msup = codec._p_base_step()(
+                        v, codec._h2d_sym(sym), mu, msup, buf, np.int32(i),
+                        lm_b, ls_b)
+                    idx.copy_to_host_async()
+                else:
+                    y_hat, buf = codec._p_base_finish()(
+                        v, codec._h2d_sym(sym), mu, msup, buf, np.int32(i))
+                y_hat_slices.append(y_hat)
+            cache["base"] = tuple(y_hat_slices)
+            cache["base_params"] = (tuple(mu_b), tuple(std_b))
     base_slices = cache["base"]
 
     if q_ind == 0:

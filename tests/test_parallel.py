@@ -194,3 +194,51 @@ class TestMultiHost:
 
     def test_init_multihost_noop_single_process(self):
         assert init_multihost() is False
+
+    def test_two_process_rd_sweep_equals_single(self, tmp_path):
+        """The REAL codec sweep end-to-end across 2 jax.distributed
+        processes (tools/multihost_rd_sweep.py): images sharded via
+        local_shard, per-process host rANS coder, per-image RD rows
+        allgathered — the merged result must equal the single-process
+        sweep exactly (VERDICT r4 item 7)."""
+        import socket
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        tool = os.path.join(repo, "tools", "multihost_rd_sweep.py")
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS",)}
+        env["PYTHONPATH"] = repo
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+        def extract(out):
+            for line in out.splitlines():
+                if line.startswith("RDSWEEP "):
+                    import json
+                    return json.loads(line[len("RDSWEEP "):])
+            raise AssertionError(f"no RDSWEEP line in:\n{out}")
+
+        single = subprocess.run(
+            [sys.executable, tool, "--n_images", "4"],
+            capture_output=True, text=True, env=env, timeout=600)
+        assert single.returncode == 0, single.stdout + single.stderr
+        ref = extract(single.stdout)
+        assert ref["processes"] == 1 and ref["n_images"] == 4
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [subprocess.Popen(
+            [sys.executable, tool, "--n_images", "4",
+             "--num_processes", "2", "--process_id", str(i),
+             "--coordinator", f"localhost:{port}"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env) for i in range(2)]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        for i, p in enumerate(procs):
+            assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
+        got = extract(outs[0])
+        assert got["processes"] == 2
+        assert got["rows"] == ref["rows"]
+        assert got["mean_bpp_top"] == ref["mean_bpp_top"]
+        assert got["mean_psnr_top"] == ref["mean_psnr_top"]

@@ -293,6 +293,72 @@ class TestRDSweep:
         assert all(np.isfinite(res["psnr"]))
 
 
+class TestIoChain:
+    """The fused io-callback base chain (PICCodec._p_base_chain_io) vs the
+    per-slice interleaved path: ONE executable shared by encode/decode/
+    extract must produce bitwise-identical streams and latents to the
+    fused-step interleave it replaces (base-chain fusion, VERDICT r4
+    item 2)."""
+
+    def test_streams_bitwise_equal_paths(self, setup):
+        model, v, x, codec = setup
+        codec_old = PICCodec(model, v, io_chain=False)
+        for q in (0.0, 1.0):
+            o_new = codec.compress(x, quality=q, return_latents=True)
+            o_old = codec_old.compress(x, quality=q, return_latents=True)
+            assert o_new["io_chain"] and not o_old["io_chain"]
+            flat = lambda o: b"".join(  # noqa: E731
+                s for sl in o["strings"][0] for s in sl)
+            assert flat(o_new) == flat(o_old)
+            key = "y_hat" if q > 0 else "y_hat_base"
+            np.testing.assert_array_equal(np.asarray(o_new[key]),
+                                          np.asarray(o_old[key]))
+
+    def test_cross_path_decode(self, setup):
+        """A stream encoded via the io chain decodes bit-exactly through
+        BOTH decoder paths (the io_chain flag selects the encoder's path;
+        cross-path decode covers io-incapable decode processes)."""
+        model, v, x, codec = setup
+        codec_old = PICCodec(model, v, io_chain=False)
+        o = codec.compress(x, quality=1.0, return_latents=True)
+        r_io = codec.decompress(o)
+        o2 = dict(o, io_chain=False)
+        r_old = codec_old.decompress(o2)
+        np.testing.assert_array_equal(np.asarray(r_io["y_hat"]),
+                                      np.asarray(o["y_hat"]))
+        np.testing.assert_array_equal(np.asarray(r_old["y_hat"]),
+                                      np.asarray(o["y_hat"]))
+
+    def test_progressive_stream_equal_and_decodes(self, setup):
+        from epic_tpu.codec import progressive_decode_all
+
+        model, v, x, codec = setup
+        codec_old = PICCodec(model, v, io_chain=False)
+        q_list = [0.5, 2.0, 10.0]
+        bs, bits = progressive_encode(codec, x, q_list)
+        bs_old, bits_old = progressive_encode(codec_old, x, q_list)
+        assert b"".join(bs["y"]) == b"".join(bs_old["y"])
+        assert bits == bits_old
+        r = progressive_decode_all(codec, bs)
+        r_old = progressive_decode_all(codec_old, bs_old)
+        np.testing.assert_array_equal(np.asarray(r["x_hat"]),
+                                      np.asarray(r_old["x_hat"]))
+
+    def test_buffered_roundtrip_io(self, setup):
+        model, v, x, codec = setup
+        o = codec.compress(x, quality=0.0, buffered=True,
+                           return_latents=True)
+        r = codec.decompress(o)
+        np.testing.assert_array_equal(np.asarray(r["y_hat"]),
+                                      np.asarray(o["y_hat_base"]))
+
+    def test_extract_device_equals_codec_extract(self, setup):
+        model, v, x, codec = setup
+        a = codec.extract_checkpoint(x, 1.0)
+        b = codec.extract_checkpoint_device(x, 1.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestTransferWidening:
     """The tunnel-slimming paths: symbols cross D2H as int8 with
     int16/int32 widening flags, and H2D uploads pick the narrowest safe

@@ -152,6 +152,33 @@ class TestCheckpointIO:
         assert tuple(model2.check_levels) == (0.1, 1.0)
 
 
+class TestAutoCheckpoints:
+    def test_fused_auto_extraction_equals_explicit(self, rem_codec):
+        """progressive_encode_start(rems=True, y_checkpoints=None)
+        auto-extracts the chained check-level latents fused into the
+        encode; they must be BITWISE the chained codec extraction, and
+        the resulting stream must equal the explicit-checkpoint encode
+        (this is the bench's n_ck>=2 path)."""
+        from epic_tpu.codec.progressive import (progressive_encode_finish,
+                                                progressive_encode_start)
+
+        model, v, x, codec = rem_codec
+        q_list = [0.5, 2.0, 10.0]
+        st = progressive_encode_start(codec, x, q_list, rems=True)
+        ckpts, prev = [], None
+        for j, cl in enumerate(model.check_levels):
+            prev = codec.extract_checkpoint(x, float(cl),
+                                            checkpoint_rep=prev)
+            ckpts.append(prev)
+            np.testing.assert_array_equal(
+                np.asarray(st["auto_ckpts"][j]), np.asarray(prev))
+        bs, bits = progressive_encode_finish(codec, st)
+        bs2, bits2 = progressive_encode(codec, x, q_list, rems=True,
+                                        y_checkpoints=ckpts)
+        assert b"".join(bs["y"]) == b"".join(bs2["y"])
+        assert bits == bits2
+
+
 class TestREMDisableOnLoad:
     def test_pic_checkpoint_as_rem_degrades_to_pic(self, tmp_path):
         """A 'rem' load whose checkpoint has no post_latent banks returns

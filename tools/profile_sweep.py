@@ -66,7 +66,9 @@ def main(argv=None):
     from bench import photo_images, Q_LIST
     from epic_tpu.codec import (PICCodec, progressive_decode_all,
                                 progressive_encode)
-    from epic_tpu.codec.progressive import _p_shell_ids
+    from epic_tpu.codec.progressive import (_p_shell_ids,
+                                            progressive_encode_finish,
+                                            progressive_encode_start)
     from epic_tpu.training import load_checkpoint
 
     model, params, cfg, step = load_checkpoint(
@@ -78,11 +80,15 @@ def main(argv=None):
 
     x = jnp.asarray(np.stack(photo_images(args.batch)))
     npix = args.batch * 512 * 768
+    check_levels = list(getattr(model, "check_levels", ()) or ())
+    rems_arg = len(check_levels) >= 2 and model.ns1 > model.ns0
 
-    # warm up the whole pipeline (compiles everything)
+    # warm up the whole pipeline (compiles everything), bench-shaped
     t0 = time.time()
-    bs, bits = progressive_encode(codec, x, Q_LIST)
-    out_all = progressive_decode_all(codec, bs)
+    st_w = progressive_encode_start(codec, x, Q_LIST, rems=rems_arg)
+    bs, bits = progressive_encode_finish(codec, st_w)
+    out_all = progressive_decode_all(codec, bs, rems=rems_arg,
+                                     y_checkpoints=st_w["auto_ckpts"])
     jax.block_until_ready(out_all["x_hat"])
     warm_s = time.time() - t0
     print(f"# warmup {warm_s:.1f}s", file=sys.stderr, flush=True)
@@ -90,7 +96,7 @@ def main(argv=None):
     prof = {}
 
     # ---- encode-side device programs ----
-    t, (y, z_sym) = timed(codec._p_front(), v, x, codec._z_med_dev)
+    t, (y, y_base, z_sym) = timed(codec._p_front(), v, x, codec._z_med_dev)
     prof["front_g_a_h_a"] = t
     t, (lm, ls) = timed(codec._p_zhat_hyper(False), v, z_sym,
                         codec._z_med_dev)
@@ -99,9 +105,16 @@ def main(argv=None):
     lm_b = lm[..., :model.division[0]]
     ls_b = ls[..., :model.division[0]]
     c = model.dim_chunk
+
+    # the fused io-callback chain (what the codec runs by default): one
+    # launch + ns0 in-program host round trips, simulate mode
+    t, chain_out = timed(codec._base_chain_call, v, y_base, lm_b, ls_b)
+    prof["base_chain_io_fused"] = t
+    y_hat_slices = chain_out[0]
+    syms = [(chain_out[4][i], chain_out[3][i]) for i in range(model.ns0)]
+
+    # the per-slice interleave it replaced, for comparison
     tb_params = tb_sym = tb_finish = 0.0
-    y_hat_slices = []
-    syms = []
     buf = codec._base_buf0(lm_b)
     for i in range(model.ns0):
         t, (mu, scale, idx, msup) = timed(
@@ -113,18 +126,29 @@ def main(argv=None):
         t, (y_hat, buf) = timed(codec._p_base_finish(), v, s32, mu, msup,
                                 buf, np.int32(i))
         tb_finish += t
-        y_hat_slices.append(y_hat)
-        syms.append((s8, idx))
-    prof["base_params_x%d" % model.ns0] = tb_params
-    prof["base_sym_x%d" % model.ns0] = tb_sym
-    prof["base_finish_x%d" % model.ns0] = tb_finish
+    prof["OLD_base_params_x%d" % model.ns0] = tb_params
+    prof["OLD_base_sym_x%d" % model.ns0] = tb_sym
+    prof["OLD_base_finish_x%d" % model.ns0] = tb_finish
 
     t, (mu_s, scale_s, mask1, idx_full, msups) = timed(
-        codec._p_prog_params(10.0), v, tuple(y_hat_slices), lm, ls)
+        codec._p_prog_params(10.0), v, y_hat_slices, lm, ls)
     prof["prog_params_chain"] = t
     t, (p8, p16, p32, pfl8, pfl16) = timed(codec._p_prog_sym(), y, mu_s,
                                            mask1)
     prof["prog_sym"] = t
+    if rems_arg:
+        mus_b, scales_b = chain_out[1], chain_out[2]
+        cks = st_w["auto_ckpts"]
+        t, _ = timed(
+            codec._p_prog_params_rem_chain(len(cks)), v, y_hat_slices,
+            lm, ls, tuple(cks), mus_b, scales_b)
+        prof["prog_params_rem_chain_x%d" % len(cks)] = t
+        t, _ = timed(codec._p_prog_params(float(check_levels[0])),
+                     v, y_hat_slices, lm, ls)
+        prof["ckpt_extract_params_lvl0"] = t
+        t, _ = timed(codec._p_prog_reconstruct(), v, p32, mu_s, msups,
+                     y_hat_slices)
+        prof["ckpt_extract_reconstruct_1lev"] = t
     t, sid = timed(_p_shell_ids(codec, tuple(Q_LIST)), scale_s)
     prof["shell_ids"] = t
 
@@ -146,19 +170,21 @@ def main(argv=None):
     nq = len(Q_LIST)
     t, _ = timed(codec._p_prog_reconstruct_all(nq), v, p32,
                  jnp.asarray(np.asarray(jax.device_get(sid))), mu_s,
-                 msups, tuple(y_hat_slices))
+                 msups, y_hat_slices)
     prof["prog_reconstruct_all_%dlev" % nq] = t
-    t, _ = timed(codec._p_synth_base(), v, tuple(y_hat_slices))
+    t, _ = timed(codec._p_synth_base(), v, y_hat_slices)
     prof["synth_base"] = t
 
     # ---- host rANS share over one full sweep ----
     codec.y_coder.stats.update(encode_s=0.0, decode_s=0.0)
     codec.z_coder.stats.update(encode_s=0.0, decode_s=0.0)
     t0 = time.time()
-    bs, bits = progressive_encode(codec, x, Q_LIST)
+    st = progressive_encode_start(codec, x, Q_LIST, rems=rems_arg)
+    bs, bits = progressive_encode_finish(codec, st)
     enc_wall = time.time() - t0
     t0 = time.time()
-    out_all = progressive_decode_all(codec, bs)
+    out_all = progressive_decode_all(codec, bs, rems=rems_arg,
+                                     y_checkpoints=st["auto_ckpts"])
     jax.block_until_ready(out_all["x_hat"])
     dec_wall = time.time() - t0
     rans_s = sum(codec.y_coder.stats[k] + codec.z_coder.stats[k]
@@ -171,7 +197,7 @@ def main(argv=None):
         flops["front_g_a_h_a"] = {
             "gflops": round(f / 1e9, 1),
             "achieved_tflops": round(f / prof["front_g_a_h_a"] / 1e12, 1)}
-    f = flops_of(codec._p_prog_params(10.0), v, tuple(y_hat_slices), lm, ls)
+    f = flops_of(codec._p_prog_params(10.0), v, y_hat_slices, lm, ls)
     if f:
         flops["prog_params_chain"] = {
             "gflops": round(f / 1e9, 1),
@@ -179,14 +205,17 @@ def main(argv=None):
                 f / prof["prog_params_chain"] / 1e12, 1)}
     f = flops_of(codec._p_prog_reconstruct_all(nq), v, p32,
                  jnp.asarray(np.asarray(jax.device_get(sid))), mu_s,
-                 msups, tuple(y_hat_slices))
+                 msups, y_hat_slices)
     if f:
         flops["prog_reconstruct_all"] = {
             "gflops": round(f / 1e9, 1),
             "achieved_tflops": round(
                 f / prof["prog_reconstruct_all_%dlev" % nq] / 1e12, 1)}
 
-    dev_total = sum(v_ for k, v_ in prof.items() if not k.startswith("d2h"))
+    # OLD_* rows are the replaced interleave, kept for comparison only —
+    # they are not part of the sweep the codec actually runs
+    dev_total = sum(v_ for k, v_ in prof.items()
+                    if not k.startswith(("d2h", "OLD_")))
     d2h_total = sum(v_ for k, v_ in prof.items() if k.startswith("d2h"))
     res = {
         "batch": args.batch,
