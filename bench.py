@@ -252,8 +252,16 @@ def main():
         np.asarray(per_level_psnr(out["x_hat"], x))
         np.asarray(per_level_msssim(out["x_hat"], x))
         check_ckpt_equality(st)
+        if codec.chain_mode == "scan":
+            # scan-mode guard: the fused scan encoder and the per-slice
+            # interleaved decoder are different executables; assert they
+            # agree bitwise on real content at the benched shape
+            codec.verify_base_chain(x)
+            log("scan-encoder == interleaved-decoder bitwise on real "
+                "content OK")
         log(f"warmup/compile (batch={batch}, rems={use_rems}, "
-            f"rem_chain={rems_arg}) {time.time()-t0:.1f}s")
+            f"rem_chain={rems_arg}, chain={codec.chain_mode}) "
+            f"{time.time()-t0:.1f}s")
 
         for c in (codec.y_coder, codec.z_coder):
             c.stats.update(encode_s=0.0, decode_s=0.0, encode_calls=0,

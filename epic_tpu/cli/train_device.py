@@ -29,6 +29,10 @@ STAGE_ORDER = ("first_train", "refine_gs", "refine_gs_ga", "rems")
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="epic_tpu device-data trainer")
     p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--model", type=str, default="pic",
+                   choices=["pic", "cnn"],
+                   help="cnn = single-quality WACNN baseline (reference "
+                        "cnn.py; first_train stage only)")
     p.add_argument("--steps", type=str,
                    default="first_train=30000,refine_gs=6000,"
                            "refine_gs_ga=6000,rems=4000")
@@ -86,6 +90,11 @@ def _parse_steps(spec: str):
 
 
 def _model_config(args, rem: bool):
+    if args.model == "cnn":
+        # WACNN pins division/branches itself (models/cnn.py)
+        return dict(n=args.N, m=args.M, dim_chunk=args.dim_chunk,
+                    param_net_widths=tuple(args.param_net_widths),
+                    compute_dtype=args.compute_dtype)
     cfg = dict(
         n=args.N, m=args.M,
         division=tuple(args.division_dimension),
@@ -128,6 +137,11 @@ def main(argv=None):
     progress_path = os.path.join(args.save_path, "progress.json")
     log_path = os.path.join(args.save_path, "train_log.jsonl")
     stages = _parse_steps(args.steps)
+    is_cnn = args.model == "cnn"
+    if is_cnn and [s_ for s_, _ in stages] != ["first_train"]:
+        raise SystemExit("--model cnn trains the single-quality WACNN: "
+                         "only the first_train stage applies "
+                         "(reference README step 1)")
 
     def beat():
         if args.heartbeat:
@@ -184,8 +198,9 @@ def main(argv=None):
 
         is_rem = stage_name == "rems"
         cfg = _model_config(args, rem=is_rem)
-        model = get_model("rem" if is_rem else "pic", **cfg)
-        cfg["model"] = "rem" if is_rem else "pic"
+        name = "cnn" if is_cnn else ("rem" if is_rem else "pic")
+        model = get_model(name, **cfg)
+        cfg["model"] = name
 
         # ---- params for this stage ----
         if resuming_here and os.path.exists(
@@ -238,8 +253,12 @@ def main(argv=None):
         if lr != args.learning_rate:
             state = set_learning_rate(state, lr)
         train_step = _mts(model, plan)
-        eval_step = make_eval_step(model)
-        valid_loss_step = make_valid_loss_step(model, plan)
+        # WACNN: quality is meaningless (single-quality model); pin the
+        # eval forward to the static base-only path
+        sq = 0.0 if is_cnn else None
+        eval_step = make_eval_step(model, static_quality=sq)
+        valid_loss_step = make_valid_loss_step(model, plan,
+                                               static_quality=sq)
         ckpt_extractor = make_ckpt_extractor(model) if plan.rems else None
 
         start = progress["next_step"] if resuming_here else 0
@@ -333,7 +352,8 @@ def main(argv=None):
 
             if gstep % args.val_every == 0 or gstep == stage_steps:
                 val = valid_epoch(eval_step, state.params, val_batches,
-                                  pr_list=(0.5, 1, 2, 10),
+                                  pr_list=(0.0,) if is_cnn
+                                  else (0.5, 1, 2, 10),
                                   loss_step=valid_loss_step)
                 vloss = val["loss"]
                 print(f"[{stage_name}] val loss {vloss:.4f} "

@@ -57,10 +57,31 @@ class PICCodec:
         self._scale_table = jnp.asarray(self.gaussian.scale_table)
         self.update()
         self._jit_cache: Dict[Any, Any] = {}
-        if io_chain is None:
-            env = os.environ.get("EPIC_IO_CHAIN", "").lower()
-            io_chain = env != "0" if env else True
-        self.io_chain = bool(io_chain)
+        # Base-chain program family:
+        #   "io"          — ONE shared scan program both directions, host
+        #                   rANS behind ordered io_callbacks (bitwise-safe
+        #                   by construction). Default where host callbacks
+        #                   work (CPU / standard runtimes).
+        #   "scan"        — fused scan ENCODER (one launch, zero host
+        #                   round trips) + per-slice interleaved DECODER.
+        #                   Default on TPU: the axon-tunneled runtime
+        #                   hangs compiling io_callback custom calls
+        #                   (tools/probe_io_callback.py); equality of the
+        #                   two executables is the scan==unrolled property
+        #                   (tests/test_scan_chains.py) and is asserted on
+        #                   real content via verify_base_chain (bench
+        #                   warmup).
+        #   "interleaved" — the per-slice fused-step programs everywhere
+        #                   (r4 behavior; also the int16-overflow
+        #                   fallback).
+        if io_chain is not None:
+            chain_mode = "io" if io_chain else "interleaved"
+        else:
+            chain_mode = os.environ.get("EPIC_CHAIN_MODE", "").lower()
+            if chain_mode not in ("io", "scan", "interleaved"):
+                chain_mode = "io" if jax.default_backend() == "cpu" \
+                    else "scan"
+        self.chain_mode = chain_mode
         # per-call host state for the io_callback base chain: dispatch is
         # async, so callbacks for call N can fire after call N+1 was
         # dispatched — a global mode flag would race; a call id threaded
@@ -251,6 +272,99 @@ class PICCodec:
             return f
         return self._prog("base_chain_io", make)
 
+    def _p_base_chain_scan(self):
+        """ENCODER-ONLY fused base chain: the io chain's exact scan body
+        with the callback replaced by the encoder's own symbols — one
+        launch, ZERO host round trips (the encoder knows every symbol).
+
+        Used when host callbacks are unavailable (the axon-tunneled TPU
+        runtime hangs COMPILING any program containing an io_callback
+        custom call — measured, tools/probe_io_callback.py): the decoder
+        then runs the per-slice interleaved programs, and the encoder's
+        scan must match them BITWISE. That equality is the scan==unrolled
+        property already relied on by the model chains
+        (tests/test_scan_chains.py); verify_base_chain() asserts it at
+        runtime on real content (bench warmup) as a guard.
+        Outputs match _p_base_chain_io."""
+        def make():
+            model = self.model
+            ns0, c = model.ns0, model.dim_chunk
+
+            def f(v, y_base, lm_b, ls_b):
+                n = max(model._n_slots_base, 1)
+                b, h, w = lm_b.shape[0], lm_b.shape[1], lm_b.shape[2]
+                buf0 = jnp.zeros((n, b, h, w, c), jnp.float32)
+                y_s = jnp.moveaxis(
+                    y_base.reshape(b, h, w, ns0, c), 3, 0)
+
+                def body(buf, xs):
+                    i, y_i = xs
+                    mu, scale, msup = model.apply(
+                        v, lm_b, ls_b, buf, i,
+                        method=VarianceMaskingPIC.base_slice_params_dyn)
+                    idx = build_indexes(scale, self._scale_table,
+                                        model.scale_bound).astype(jnp.int8)
+                    sym_enc = jnp.round(y_i - mu)
+                    ovf = (jnp.abs(sym_enc) > 32000).any()
+                    flag8 = (jnp.abs(sym_enc) > 127).any()
+                    sym = sym_enc.astype(jnp.int16)
+                    y_hat = sym.astype(jnp.float32) + mu
+                    y_hat, buf = model.apply(
+                        v, y_hat, msup, buf, i,
+                        method=VarianceMaskingPIC.finish_base_slice_dyn)
+                    return buf, (y_hat, mu, scale, idx, sym, flag8, ovf)
+
+                idx_i = jnp.arange(ns0, dtype=jnp.int32)
+                _, (y_hat_s, mu_s, scale_s, idx_s, sym_s, f8, ovf) = \
+                    jax.lax.scan(body, buf0, (idx_i, y_s))
+                return (y_hat_s, mu_s, scale_s, idx_s,
+                        sym_s.astype(jnp.int8), sym_s,
+                        f8.any(), ovf.any())
+            return f
+        return self._prog("base_chain_scan", make)
+
+    def verify_base_chain(self, x) -> bool:
+        """Assert the scan-encoder chain matches the interleaved programs
+        BITWISE on real content (params, CDF indexes, symbols, finished
+        slices) — the guard for chain_mode='scan', where the encoder's
+        scan and the decoder's interleave are different executables.
+        Raises on mismatch; returns True."""
+        v = self.variables
+        x = jnp.asarray(x)
+        y, y_base, z_sym = self._p_front()(v, x, self._z_med_dev)
+        lm, ls = self._p_zhat_hyper(False)(v, z_sym, self._z_med_dev)
+        lm_b = lm[..., :self.model.division[0]]
+        ls_b = ls[..., :self.model.division[0]]
+        (y_hat_s, mu_s, scale_s, idx_s, s8, s16, f8, ovf) = \
+            self._p_base_chain_scan()(v, y_base, lm_b, ls_b)
+        ns0, c = self.model.ns0, self.model.dim_chunk
+        buf = self._base_buf0(lm_b)
+        mu, scale, idx, msup = self._p_base_params()(
+            v, lm_b, ls_b, buf, np.int32(0))
+        for i in range(ns0):
+            y_i = y[..., i * c:(i + 1) * c]
+            _, _, s32_i, _, _ = self._p_base_sym()(y_i, mu)
+            np.testing.assert_array_equal(
+                np.asarray(mu_s[i], np.float32), np.asarray(mu, np.float32),
+                err_msg=f"mu slice {i}")
+            np.testing.assert_array_equal(
+                np.asarray(idx_s[i]), np.asarray(idx),
+                err_msg=f"idx slice {i}")
+            np.testing.assert_array_equal(
+                np.asarray(s16[i], np.int32), np.asarray(s32_i, np.int32),
+                err_msg=f"sym slice {i}")
+            if i + 1 < ns0:
+                y_hat, buf, mu, scale, idx, msup = self._p_base_step()(
+                    v, s32_i, mu, msup, buf, np.int32(i), lm_b, ls_b)
+            else:
+                y_hat, buf = self._p_base_finish()(v, s32_i, mu, msup, buf,
+                                                   np.int32(i))
+            np.testing.assert_array_equal(
+                np.asarray(y_hat_s[i], np.float32),
+                np.asarray(y_hat, np.float32),
+                err_msg=f"y_hat slice {i}")
+        return True
+
     def _base_io_cb(self, cid, i, idx, sym16) -> np.ndarray:
         """Host side of _p_base_chain_io. cid 0 = simulate (encoder /
         device-extract): return the encoder's symbols unchanged. Any other
@@ -287,6 +401,22 @@ class PICCodec:
             self._io_calls[cid] = {"strings": strings, "streams": streams,
                                    "n_left": self.model.ns0}
         return self._p_base_chain_io()(v, np.int32(cid), y_base, lm_b, ls_b)
+
+    @property
+    def io_chain(self) -> bool:
+        """True when the shared io-callback chain codes streams (the
+        decoder-routing bitstream flag mirrors this)."""
+        return self.chain_mode == "io"
+
+    def _encode_base_chain(self, v, y_base, lm_b, ls_b):
+        """Fused encoder-side base chain per chain_mode, or None when the
+        per-slice interleave should run. Output layout matches
+        _p_base_chain_io."""
+        if self.chain_mode == "io":
+            return self._base_chain_call(v, y_base, lm_b, ls_b)
+        if self.chain_mode == "scan":
+            return self._p_base_chain_scan()(v, y_base, lm_b, ls_b)
+        return None
 
     def _p_stack_chan(self):
         """[S,B,h,w,c] stacked slices -> [B,h,w,S*c] channel concat (the
@@ -652,10 +782,10 @@ class PICCodec:
         y_strings: List[List[bytes]] = []
         c = self.model.dim_chunk
         ns0 = self.model.ns0
-        use_io = self.io_chain
+        chain = self._encode_base_chain(v, y_base, lm_b, ls_b)
+        use_io = chain is not None
         if use_io:
-            (y_hat_s, mu_s_b, scale_s_b, idx_s, s8, s16, fl8, ovf) = \
-                self._base_chain_call(v, y_base, lm_b, ls_b)
+            (y_hat_s, mu_s_b, scale_s_b, idx_s, s8, s16, fl8, ovf) = chain
             if bool(jax.device_get(ovf)):
                 use_io = False  # symbols exceed int16 (untrained model /
                 # pathological input): redo via the interleaved path
@@ -723,7 +853,10 @@ class PICCodec:
             "shape": tuple(int(s) for s in z_shape),
             "quality": float(quality),
             "buffered": bool(buffered and quality <= 0),
-            "io_chain": bool(use_io),
+            # decoder routing: True only for io-mode streams (scan-mode
+            # encodes decode through the interleaved programs, which the
+            # scan matches bitwise — verify_base_chain)
+            "io_chain": bool(use_io and self.chain_mode == "io"),
         }
         if quality <= 0:
             if raw_base:
@@ -877,9 +1010,9 @@ class PICCodec:
         lm_b = lm[..., :self.model.division[0]]
         ls_b = ls[..., :self.model.division[0]]
         ns0, c = self.model.ns0, self.model.dim_chunk
-        if self.io_chain:
-            (y_hat_slices, mus_b, scales_b, _, _, _, _, _) = \
-                self._base_chain_call(v, y_base, lm_b, ls_b)
+        chain = self._encode_base_chain(v, y_base, lm_b, ls_b)
+        if chain is not None:
+            (y_hat_slices, mus_b, scales_b, _, _, _, _, _) = chain
         else:
             buf = self._base_buf0(lm_b)
             y_hat_slices, mus_b, scales_b = [], [], []
@@ -898,7 +1031,7 @@ class PICCodec:
                                                        buf, np.int32(i))
                 y_hat_slices.append(y_hat)
         if quality <= 0:
-            if self.io_chain:
+            if chain is not None:
                 return self._p_stack_chan()(y_hat_slices)
             return jnp.concatenate(y_hat_slices, axis=-1)
         if checkpoint_rep is not None:

@@ -124,11 +124,12 @@ def progressive_encode_start(codec: PICCodec, x,
     # fused io-callback chain (ONE launch, PICCodec._p_base_chain_io);
     # fallback: the per-slice fused-step interleave.
     ns0 = model.ns0
-    io = codec.io_chain if force_io is None else force_io
-    if io:
+    chain = None
+    if force_io is None or force_io:
+        chain = codec._encode_base_chain(v, y_base, lm_b, ls_b)
+    if chain is not None:
         (y_hat_slices, mus_b, scales_b, base_idx, base_s8, base_s16,
-         base_flag8, base_flag16) = codec._base_chain_call(
-            v, y_base, lm_b, ls_b)
+         base_flag8, base_flag16) = chain
         base_s32 = base_s16  # int16 overflow falls back via base_flag16
     else:
         buf = codec._base_buf0(lm_b)
@@ -214,7 +215,12 @@ def progressive_encode_start(codec: PICCodec, x,
         "base_s8": base_s8, "base_s16": base_s16, "base_s32": base_s32,
         "base_idx": base_idx,
         "base_flag8": base_flag8, "base_flag16": base_flag16,
-        "io_chain": io, "x": x, "rems": rems, "ckpts": y_checkpoints,
+        # decoder routing: io-mode only (scan-mode streams decode via the
+        # interleaved programs); "fused" records whether a fused encoder
+        # chain ran (its int16 overflow flag is then meaningful)
+        "io_chain": chain is not None and codec.chain_mode == "io",
+        "fused": chain is not None,
+        "x": x, "rems": rems, "ckpts": y_checkpoints,
         "auto_ckpts": auto_ckpts,
         "p8": p8, "p16": p16, "p32": p32,
         "pflag8": pflag8, "pflag16": pflag16,
@@ -243,7 +249,7 @@ def progressive_encode_finish(codec: PICCodec,
         return time.time()
 
     t = time.time()
-    if st.get("io_chain") and bool(jax.device_get(st["base_flag16"])):
+    if st.get("fused") and bool(jax.device_get(st["base_flag16"])):
         # base symbols exceed int16 (untrained model / pathological
         # input): the io chain's payload width can't carry them — redo
         # this batch through the interleaved path (int32-capable)

@@ -104,13 +104,17 @@ def extract_quality_ref(quality: float,
     return c[-1]
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model, static_quality=None) -> Callable:
     """eval(params, batch, quality) -> (x_hat, bpp_total, mse). quality is
-    traced; one compile covers any quality grid."""
+    traced; one compile covers any quality grid. static_quality pins the
+    forward to one python-float quality and ignores the traced argument —
+    single-quality models (WACNN) take the static base-only path, which a
+    traced quality cannot reach."""
     @jax.jit
     def evaluate(params, batch, quality):
+        q = quality if static_quality is None else float(static_quality)
         out = model.apply(
-            {"params": params}, batch, quality, False,
+            {"params": params}, batch, q, False,
             method=VarianceMaskingPIC.forward_single_quality)
         b, h, w, _ = batch.shape
         npix = b * h * w
@@ -122,7 +126,8 @@ def make_eval_step(model) -> Callable:
     return evaluate
 
 
-def make_valid_loss_step(model, plan: StagePlan) -> Callable:
+def make_valid_loss_step(model, plan: StagePlan,
+                         static_quality=None) -> Callable:
     """valid(params, batch, quality) -> stage-criterion loss (scalar).
     The plateau scheduler steps on this, matching the reference's
     lr_scheduler.step(criterion loss) at train.py:279."""
@@ -131,8 +136,9 @@ def make_valid_loss_step(model, plan: StagePlan) -> Callable:
 
     @jax.jit
     def valid(params, batch, quality):
+        q = quality if static_quality is None else float(static_quality)
         out = model.apply(
-            {"params": params}, batch, quality, False,
+            {"params": params}, batch, q, False,
             method=VarianceMaskingPIC.forward_single_quality)
         return criterion(out, batch, lmbda)["loss"]
 

@@ -359,6 +359,46 @@ class TestIoChain:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestScanChainMode:
+    """chain_mode='scan' (the TPU default: the axon runtime can't compile
+    io_callback custom calls): fused scan ENCODER + interleaved DECODER.
+    The two executables must agree bitwise (verify_base_chain) and the
+    streams must decode exactly."""
+
+    @pytest.fixture(scope="class")
+    def scan_codec(self, setup):
+        model, v, x, _ = setup
+        c = PICCodec(model, v)
+        c.chain_mode = "scan"
+        return model, v, x, c
+
+    def test_verify_base_chain(self, scan_codec):
+        model, v, x, codec = scan_codec
+        assert codec.verify_base_chain(x)
+
+    def test_scan_streams_equal_interleaved_and_decode(self, scan_codec):
+        from epic_tpu.codec import progressive_decode_all
+
+        model, v, x, codec = scan_codec
+        codec_old = PICCodec(model, v, io_chain=False)
+        o = codec.compress(x, quality=1.0, return_latents=True)
+        assert not o["io_chain"]  # scan streams decode via interleave
+        o_old = codec_old.compress(x, quality=1.0)
+        flat = lambda oo: b"".join(  # noqa: E731
+            s for sl in oo["strings"][0] for s in sl)
+        assert flat(o) == flat(o_old)
+        r = codec.decompress(o)
+        np.testing.assert_array_equal(np.asarray(r["y_hat"]),
+                                      np.asarray(o["y_hat"]))
+        bs, bits = progressive_encode(codec, x, [0.5, 10.0])
+        bs2, bits2 = progressive_encode(codec_old, x, [0.5, 10.0])
+        assert b"".join(bs["y"]) == b"".join(bs2["y"])
+        r1 = progressive_decode_all(codec, bs)
+        r2 = progressive_decode_all(codec_old, bs2)
+        np.testing.assert_array_equal(np.asarray(r1["x_hat"]),
+                                      np.asarray(r2["x_hat"]))
+
+
 class TestTransferWidening:
     """The tunnel-slimming paths: symbols cross D2H as int8 with
     int16/int32 widening flags, and H2D uploads pick the narrowest safe

@@ -68,6 +68,15 @@ def main(argv=None):
                                  num_processes=args.num_processes
                                  if args.num_processes > 1 else None,
                                  process_id=args.process_id)
+    if distributed:
+        # establish the cross-process collective context NOW, while the
+        # processes are still in lockstep: the first collective pays the
+        # Gloo/ICI context init with a short key-exchange deadline, and
+        # on a 1-core box the per-process codec compiles skew arrival at
+        # a later first collective past it (observed DEADLINE_EXCEEDED)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("epic_rd_sweep_start")
 
     import numpy as np
     import jax.numpy as jnp
@@ -100,9 +109,12 @@ def main(argv=None):
         rows.append([float(i)] + [round(float(b), 6) for b in bpp]
                     + [round(float(p_), 4) for p_ in psnr])
 
-    # fixed row width: [image_id, bpp x (1+Q), psnr x (1+Q)]
+    # fixed row width: [image_id, bpp x (1+Q), psnr x (1+Q)].
+    # float32 on BOTH paths: process_allgather ships f32 (x64 disabled),
+    # so the single-process path must quantize identically for the
+    # equality assertion in tests/test_parallel.py to be exact.
     width = 1 + 2 * (len(Q_LIST) + 1)
-    local_rows = np.asarray(rows, np.float64).reshape(-1, width)
+    local_rows = np.asarray(rows, np.float32).reshape(-1, width)
     if distributed:
         from jax.experimental import multihost_utils
 

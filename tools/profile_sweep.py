@@ -106,10 +106,11 @@ def main(argv=None):
     ls_b = ls[..., :model.division[0]]
     c = model.dim_chunk
 
-    # the fused io-callback chain (what the codec runs by default): one
-    # launch + ns0 in-program host round trips, simulate mode
-    t, chain_out = timed(codec._base_chain_call, v, y_base, lm_b, ls_b)
-    prof["base_chain_io_fused"] = t
+    # the fused encoder chain the codec actually runs (mode-dependent:
+    # 'scan' = one launch zero host round trips on TPU, 'io' = one launch
+    # + ns0 callback round trips on CPU)
+    t, chain_out = timed(codec._encode_base_chain, v, y_base, lm_b, ls_b)
+    prof["base_chain_fused_%s" % codec.chain_mode] = t
     y_hat_slices = chain_out[0]
     syms = [(chain_out[4][i], chain_out[3][i]) for i in range(model.ns0)]
 
