@@ -79,8 +79,14 @@ class PICCodec:
         else:
             chain_mode = os.environ.get("EPIC_CHAIN_MODE", "").lower()
             if chain_mode not in ("io", "scan", "interleaved"):
-                chain_mode = "io" if jax.default_backend() == "cpu" \
-                    else "scan"
+                # "scan" on EVERY backend: the io mode is correct and
+                # bitwise-tested, but the host-callback runtime is not
+                # robust in this environment — the axon TPU hangs at
+                # compile, and the CPU backend deadlocked (futex, all
+                # threads) mid-eval at flagship scale after completing
+                # smaller batches. No production path depends on host
+                # callbacks; "io" remains available explicitly.
+                chain_mode = "scan"
         self.chain_mode = chain_mode
         # per-call host state for the io_callback base chain: dispatch is
         # async, so callbacks for call N can fire after call N+1 was

@@ -298,10 +298,17 @@ class TestIoChain:
     per-slice interleaved path: ONE executable shared by encode/decode/
     extract must produce bitwise-identical streams and latents to the
     fused-step interleave it replaces (base-chain fusion, VERDICT r4
-    item 2)."""
+    item 2). io mode is constructed EXPLICITLY — the production default
+    is "scan" on every backend (the host-callback runtime hung/deadlocked
+    under load on both axon-TPU and CPU; see PICCodec.__init__)."""
 
-    def test_streams_bitwise_equal_paths(self, setup):
-        model, v, x, codec = setup
+    @pytest.fixture()
+    def io_codec(self, setup):
+        model, v, x, _ = setup
+        return model, v, x, PICCodec(model, v, io_chain=True)
+
+    def test_streams_bitwise_equal_paths(self, io_codec):
+        model, v, x, codec = io_codec
         codec_old = PICCodec(model, v, io_chain=False)
         for q in (0.0, 1.0):
             o_new = codec.compress(x, quality=q, return_latents=True)
@@ -314,11 +321,11 @@ class TestIoChain:
             np.testing.assert_array_equal(np.asarray(o_new[key]),
                                           np.asarray(o_old[key]))
 
-    def test_cross_path_decode(self, setup):
+    def test_cross_path_decode(self, io_codec):
         """A stream encoded via the io chain decodes bit-exactly through
         BOTH decoder paths (the io_chain flag selects the encoder's path;
         cross-path decode covers io-incapable decode processes)."""
-        model, v, x, codec = setup
+        model, v, x, codec = io_codec
         codec_old = PICCodec(model, v, io_chain=False)
         o = codec.compress(x, quality=1.0, return_latents=True)
         r_io = codec.decompress(o)
@@ -329,10 +336,10 @@ class TestIoChain:
         np.testing.assert_array_equal(np.asarray(r_old["y_hat"]),
                                       np.asarray(o["y_hat"]))
 
-    def test_progressive_stream_equal_and_decodes(self, setup):
+    def test_progressive_stream_equal_and_decodes(self, io_codec):
         from epic_tpu.codec import progressive_decode_all
 
-        model, v, x, codec = setup
+        model, v, x, codec = io_codec
         codec_old = PICCodec(model, v, io_chain=False)
         q_list = [0.5, 2.0, 10.0]
         bs, bits = progressive_encode(codec, x, q_list)
@@ -344,8 +351,8 @@ class TestIoChain:
         np.testing.assert_array_equal(np.asarray(r["x_hat"]),
                                       np.asarray(r_old["x_hat"]))
 
-    def test_buffered_roundtrip_io(self, setup):
-        model, v, x, codec = setup
+    def test_buffered_roundtrip_io(self, io_codec):
+        model, v, x, codec = io_codec
         o = codec.compress(x, quality=0.0, buffered=True,
                            return_latents=True)
         r = codec.decompress(o)
