@@ -108,15 +108,9 @@ def main(argv=None):
     # ---- data ----
     train_set = ImageFolder(args.training_dataset, "train", args.patch_size,
                             args.num_images)
-    try:
-        valid_set = ImageFolder(args.training_dataset, "test",
-                                args.patch_size, args.num_images_val)
-    except FileNotFoundError:
-        print("WARNING: no 'test' split under "
-              f"{args.training_dataset}; validating on the TRAIN set "
-              "(plateau/best-checkpoint signals will be optimistic)",
-              file=sys.stderr, flush=True)
-        valid_set = train_set
+    train_set, valid_set = _validation_split(
+        train_set, args.training_dataset, args.patch_size,
+        args.num_images_val)
     test_set = TestImageDataset(args.test_dataset)
 
     best_loss = float("inf")
@@ -204,6 +198,37 @@ def main(argv=None):
                 os.path.join(save_dir, f"rd_epoch{epoch}.png"))
 
     print("training done")
+
+
+def _validation_split(train_set, training_dataset: str, patch_size: int,
+                      num_images_val: Optional[int]):
+    """Return (train_set, valid_set). Prefers the dataset's own 'test'
+    split; without one, carves a deterministic holdout (last ~10%, capped
+    at 64 images) off the train list so plateau/best-checkpoint signals
+    come from unseen data instead of the train set."""
+    from ..data import ImageFolder
+
+    try:
+        return train_set, ImageFolder(training_dataset, "test", patch_size,
+                                      num_images_val)
+    except FileNotFoundError:
+        pass
+    if len(train_set.paths) >= 2:
+        import copy
+
+        n_hold = max(1, min(len(train_set.paths) // 10, 64))
+        valid_set = copy.copy(train_set)
+        valid_set.paths = train_set.paths[-n_hold:]
+        train_set.paths = train_set.paths[:-n_hold]
+        print(f"WARNING: no 'test' split under {training_dataset}; held "
+              f"out the last {n_hold} train image(s) for validation",
+              file=sys.stderr, flush=True)
+        return train_set, valid_set
+    print(f"WARNING: no 'test' split under {training_dataset} and only "
+          "one train image; validating on the TRAIN set "
+          "(plateau/best-checkpoint signals will be optimistic)",
+          file=sys.stderr, flush=True)
+    return train_set, train_set
 
 
 def _merge_matching(params, base_params):

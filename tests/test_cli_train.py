@@ -111,3 +111,54 @@ class TestTrainCLI:
 
         with open(os.path.join(rem_dir, "config.json")) as f:
             assert json.load(f)["config"]["check_levels"] == [0.75]
+
+
+class TestValidationSplit:
+    """No-test-split datasets must get a held-out validation carve, not
+    train-set validation (VERDICT r4 weak #6)."""
+
+    @staticmethod
+    def _folder(tmp_path, n):
+        from PIL import Image
+
+        d = tmp_path / "train" / "data"
+        d.mkdir(parents=True)
+        for i in range(n):
+            Image.fromarray(
+                np.full((8, 8, 3), i * 7 % 255, np.uint8)).save(
+                d / f"im{i:02d}.png")
+        return str(tmp_path)
+
+    def test_holdout_carved_and_disjoint(self, tmp_path, capsys):
+        from epic_tpu.cli.train import _validation_split
+        from epic_tpu.data import ImageFolder
+
+        root = self._folder(tmp_path, 12)
+        train = ImageFolder(root, "train", 8)
+        train_out, valid = _validation_split(train, root, 8, None)
+        assert valid is not train_out
+        assert len(valid.paths) == 1 and len(train_out.paths) == 11
+        assert not set(valid.paths) & set(train_out.paths)
+        assert "held out the last 1" in capsys.readouterr().err
+
+    def test_prefers_real_test_split(self, tmp_path, data_dirs):
+        from epic_tpu.cli.train import _validation_split
+        from epic_tpu.data import ImageFolder
+
+        train_root, _ = data_dirs
+        train = ImageFolder(train_root, "train", 64)
+        n0 = len(train.paths)
+        train_out, valid = _validation_split(train, train_root, 64, None)
+        assert len(train_out.paths) == n0  # nothing carved
+        assert {os.path.basename(os.path.dirname(os.path.dirname(p)))
+                for p in valid.paths} == {"test"}
+
+    def test_single_image_falls_back(self, tmp_path, capsys):
+        from epic_tpu.cli.train import _validation_split
+        from epic_tpu.data import ImageFolder
+
+        root = self._folder(tmp_path, 1)
+        train = ImageFolder(root, "train", 8)
+        train_out, valid = _validation_split(train, root, 8, None)
+        assert valid is train_out
+        assert "only one train image" in capsys.readouterr().err
