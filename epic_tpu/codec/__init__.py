@@ -7,9 +7,12 @@ from .progressive import (progressive_encode, progressive_decode,
                           progressive_encode_start,
                           progressive_encode_finish)
 from .container import dump_bitstreams, load_bitstreams
+from .pipeline import SweepPipeline, run_sweeps
 
 __all__ = [
     "PICCodec",
+    "SweepPipeline",
+    "run_sweeps",
     "progressive_encode",
     "progressive_decode",
     "progressive_decode_all",

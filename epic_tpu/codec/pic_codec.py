@@ -22,6 +22,7 @@ with the TPU-native device<->host choreography from SURVEY.md §2.4/§3E:
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
@@ -94,6 +95,8 @@ class PICCodec:
         # through the program as a runtime operand keys the right state
         self._io_calls: Dict[int, Dict[str, Any]] = {}
         self._io_next = 1
+        self._io_lock = threading.Lock()
+        self._jit_lock = threading.Lock()
 
     def update(self, force: bool = False):
         """(Re)build entropy tables from the current variables
@@ -111,8 +114,12 @@ class PICCodec:
     # ------------------------------------------------------------------
 
     def _prog(self, key, make):
+        # double-checked under a lock: concurrent sweep threads
+        # (codec.pipeline) may request the same program on a cold cache
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(make())
+            with self._jit_lock:
+                if key not in self._jit_cache:
+                    self._jit_cache[key] = jax.jit(make())
         return self._jit_cache[key]
 
     def _p_front(self):
@@ -402,8 +409,9 @@ class PICCodec:
         if strings is None and streams is None:
             cid = 0
         else:
-            cid = self._io_next
-            self._io_next += 1
+            with self._io_lock:
+                cid = self._io_next
+                self._io_next += 1
             self._io_calls[cid] = {"strings": strings, "streams": streams,
                                    "n_left": self.model.ns0}
         return self._p_base_chain_io()(v, np.int32(cid), y_base, lm_b, ls_b)

@@ -11,6 +11,7 @@ across host threads in C++.
 from __future__ import annotations
 
 import ctypes
+import threading
 import time
 from typing import Sequence
 
@@ -114,10 +115,29 @@ class RansCoder:
         self.nthreads = int(nthreads)
         self._lib = load_library()
         # host-rANS wall-time accounting (batched calls), for the bench's
-        # encode/decode/host time split — reset with stats.update(...)
+        # encode/decode/host time split — reset with stats.update(...).
+        # Guarded by _stats_lock: one coder serves concurrent sweep threads
+        # (codec.pipeline), and += on a dict entry is not atomic.
         self.stats = {"encode_s": 0.0, "decode_s": 0.0,
                       "encode_calls": 0, "decode_calls": 0,
                       "encode_syms": 0, "decode_syms": 0}
+        self._stats_lock = threading.Lock()
+        # decode_shell_streams overflow stash: per-thread, so concurrent
+        # decodes never see each other's outlier list
+        self._tls = threading.local()
+
+    def _stat_add(self, **kv) -> None:
+        with self._stats_lock:
+            for k, v in kv.items():
+                self.stats[k] += v
+
+    @property
+    def _last_overflow(self):
+        return getattr(self._tls, "overflow", None)
+
+    @_last_overflow.setter
+    def _last_overflow(self, value):
+        self._tls.overflow = value
 
     # -- single message ---------------------------------------------------
 
@@ -196,9 +216,8 @@ class RansCoder:
             out[i * cap:i * cap + int(out_lengths[i])].tobytes()
             for i in range(m)
         ]
-        self.stats["encode_s"] += time.perf_counter() - t_start
-        self.stats["encode_calls"] += 1
-        self.stats["encode_syms"] += int(symbols.size)
+        self._stat_add(encode_s=time.perf_counter() - t_start,
+                       encode_calls=1, encode_syms=int(symbols.size))
         return res
 
     def encode_seg_batch(self, symbols, indexes, msg_lengths: Sequence[int],
@@ -245,9 +264,8 @@ class RansCoder:
             out[i * cap:i * cap + int(out_lengths[i])].tobytes()
             for i in range(m)
         ]
-        self.stats["encode_s"] += time.perf_counter() - t_start
-        self.stats["encode_calls"] += 1
-        self.stats["encode_syms"] += int(symbols.size)
+        self._stat_add(encode_s=time.perf_counter() - t_start,
+                       encode_calls=1, encode_syms=int(symbols.size))
         return res, prefix
 
     def encode_shell_batch(self, base_sym, base_idx, prog_sym, prog_idx,
@@ -302,10 +320,10 @@ class RansCoder:
             raise RuntimeError(f"shell rANS encode failed ({rc})")
         res = [out[i * cap:i * cap + int(out_lengths[i])].tobytes()
                for i in range(m)]
-        self.stats["encode_s"] += time.perf_counter() - t_start
-        self.stats["encode_calls"] += 1
-        self.stats["encode_syms"] += int(nb * m) + int(
-            (np.asarray(sid) < nq).sum())
+        self._stat_add(encode_s=time.perf_counter() - t_start,
+                       encode_calls=1,
+                       encode_syms=int(nb * m)
+                       + int((np.asarray(sid) < nq).sum()))
         return res, prefix
 
     def decode_shell_streams(self, streams: Sequence["StreamDecoder"],
@@ -344,9 +362,8 @@ class RansCoder:
             raise RuntimeError(f"shell stream decode failed ({rc})")
         n_decoded = int(((np.asarray(sid) >= j0)
                          & (np.asarray(sid) < j1)).sum())
-        self.stats["decode_s"] += time.perf_counter() - t_start
-        self.stats["decode_calls"] += 1
-        self.stats["decode_syms"] += n_decoded
+        self._stat_add(decode_s=time.perf_counter() - t_start,
+                       decode_calls=1, decode_syms=n_decoded)
         if rc > 0:
             self._last_overflow = (ovf_pos[:rc].copy(), ovf_val[:rc].copy())
         return rc
@@ -378,9 +395,8 @@ class RansCoder:
         )
         if rc != 0:
             raise RuntimeError(f"batched stream decode failed ({rc})")
-        self.stats["decode_s"] += time.perf_counter() - t_start
-        self.stats["decode_calls"] += 1
-        self.stats["decode_syms"] += int(out.size)
+        self._stat_add(decode_s=time.perf_counter() - t_start,
+                       decode_calls=1, decode_syms=int(out.size))
         return out
 
     def decode_batch(self, datas: Sequence[bytes], indexes,
@@ -409,9 +425,8 @@ class RansCoder:
         )
         if rc != 0:
             raise RuntimeError(f"batched rANS decode failed with code {rc}")
-        self.stats["decode_s"] += time.perf_counter() - t_start
-        self.stats["decode_calls"] += 1
-        self.stats["decode_syms"] += int(out.size)
+        self._stat_add(decode_s=time.perf_counter() - t_start,
+                       decode_calls=1, decode_syms=int(out.size))
         return out
 
 
