@@ -35,12 +35,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_IMG_PER_S = 0.15  # 10x the measured CPU-backend sweep throughput
 Q_LIST = [0.01, 0.05, 0.1, 0.25, 0.5, 0.6, 0.7, 0.8, 0.9, 1, 2, 3, 4,
           4.5, 10]
-N_IMAGES = int(os.environ.get("BENCH_IMAGES", "12"))  # >= 2 sweeps so the
-# encode(k+1)/host(k) pipeline actually overlaps (1 sweep = no overlap)
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "24"))  # >= 2x WORKERS
+# sweeps so the concurrent pipeline measures steady-state overlap, not
+# the fill/drain edges (1 sweep = no overlap at all)
 # sweep batch: amortizes per-program dispatch/tunnel latency across images
 # (B=4 measured ~1.3x over B=1; B=8 exceeds v5e HBM). Falls back to 1 on
 # any failure.
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+# concurrent sweeps (codec.pipeline.SweepPipeline): the full-ladder decode
+# is LATENCY-bound (ns0 interleaved host<->device round trips at ~30 ms
+# each; device programs are only ~0.35 s/sweep — profile_r5), so
+# overlapping independent sweeps' host phases on worker threads converts
+# idle round-trip waits into throughput. Results are bitwise identical to
+# serial (tests/test_pipeline.py). 2 workers: the tunnel-exposed HBM fits
+# ~2 concurrent full-ladder decodes at B=4 (3 OOMs); max_in_flight
+# (workers+1) still prefetches the next sweep's encode.
+WORKERS = int(os.environ.get("BENCH_WORKERS", "2"))
 TEASER = "/root/reference/imgs/teaser.png"
 _ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 # prefer the paper-config (N=192/M=640) checkpoint when committed — that
@@ -160,7 +170,7 @@ def main():
 
     _enable_compile_cache()
 
-    from epic_tpu.codec import (PICCodec, progressive_decode,
+    from epic_tpu.codec import (PICCodec, SweepPipeline, progressive_decode,
                                 progressive_decode_all,
                                 progressive_encode_finish,
                                 progressive_encode_start)
@@ -263,66 +273,63 @@ def main():
             f"rem_chain={rems_arg}, chain={codec.chain_mode}) "
             f"{time.time()-t0:.1f}s")
 
+        # pre-compile the tiny barrier program (used to close the timed
+        # region) so its first compile doesn't land inside the timing
+        jax.block_until_ready(to_f32(jnp.zeros((1, 1, 1, 3), np.uint8)))
+
         for c in (codec.y_coder, codec.z_coder):
             c.stats.update(encode_s=0.0, decode_s=0.0, encode_calls=0,
                            decode_calls=0, encode_syms=0, decode_syms=0)
-        # Pipelined sweep: the device runs batch k+1's encode programs
-        # while the host entropy-codes batch k (encode_start dispatches
-        # async, encode_finish is pure host work + ready fetches) — the
-        # double-buffer overlap of VERDICT r2 item 2. Decode programs for
-        # batch k queue behind encode k+1's, keeping the chip busy.
-        # Pipelined loop, fully async on the device side: encode(k+1)
-        # programs enqueue while the host entropy-codes batch k; decode(k)
-        # programs queue behind them; PSNR/MS-SSIM are computed ON DEVICE
-        # from the device-resident x_hat, so only 2x17 floats cross per
-        # sweep and the loop NEVER blocks on a reconstruction (the r3
-        # overlap killer was jax.block_until_ready(x_hat) every sweep).
+        # Concurrent sweep pipeline (codec.pipeline.SweepPipeline): the
+        # main thread dispatches every sweep's DEVICE programs in
+        # submission order (encode_start is pure async dispatch); worker
+        # threads run each sweep's host phases — rANS encode + the
+        # interleaved full-ladder decode — concurrently, so the ~30 ms
+        # host<->device round trips of independent sweeps overlap. The
+        # timed region contains ONLY codec work: x_hat handles are
+        # DROPPED as results yield (retaining 6 sweeps x 320 MB OOMs the
+        # tunnel-exposed HBM; dispatching MS-SSIM inline queues ~1 s of
+        # HIGHEST-precision conv work per sweep in front of the codec
+        # programs — measured 2.1 img/s vs dropping). Quality metrics are
+        # computed AFTER the timed region by re-decoding the first two
+        # sweeps from their stored bitstreams (8 images = every unique
+        # crop, see photo_images) — the decode is deterministic, so this
+        # is the same x_hat the timed region produced.
         t0 = time.time()
-        t_start = t_finish = t_dec = 0.0
-        total_bits, bits = 0.0, None
-        finish_phases = {}
-        pending, bpp_sweeps = [], []
+        total_bits = 0.0
+        bpp_sweeps, metric_src = [], []
         px = batch * 512 * 768
-        x_prev = st_prev = last_cks = None
-        for k in range(n_sweeps + 1):
-            if k < n_sweeps:
-                x = to_f32(jnp.asarray(images[1 + k]))
-                t1 = time.time()
-                # one call: encode programs + fused chained ckpt
-                # extraction, all async device dispatch
-                st = encode_start(x)
-                t_start += time.time() - t1
-            if k > 0:
-                t1 = time.time()
-                cks_prev = st_prev["auto_ckpts"]
-                bs, bits = progressive_encode_finish(
-                    codec, st_prev, timing=finish_phases)
-                t_finish += time.time() - t1
-                t1 = time.time()
-                out = progressive_decode_all(codec, bs, rems=rems_arg,
-                                             y_checkpoints=cks_prev)
-                # keep the device handles; PSNR/MS-SSIM run AFTER the
-                # timed region (they are measurement, not codec work —
-                # the sequential comparison sweep below likewise stops at
-                # x_hat, so the overlap ratio compares like with like)
-                pending.append((out["x_hat"], x_prev))
-                t_dec += time.time() - t1
-                bpp_sweeps.append(np.cumsum(
-                    [bits[0] + bits[1]] + list(bits[2])) / px)
-                total_bits += bits[0] + bits[1] + sum(bits[2])
-                last_cks = cks_prev
-            if k < n_sweeps:
-                x_prev, st_prev = x, st
-        jax.block_until_ready([xh for xh, _ in pending])
+        bs = last_cks = None
+        # max_in_flight=workers: the +1 encode-state prefetch OOMs the
+        # tunnel-exposed HBM at B=4 (each in-flight sweep pins its encode
+        # state + decode buffers)
+        pipe = SweepPipeline(codec, Q_LIST, rems=rems_arg, workers=WORKERS,
+                             max_in_flight=WORKERS)
+        batches = (to_f32(jnp.asarray(images[1 + k]))
+                   for k in range(n_sweeps))
+        for k, res in enumerate(pipe.run(batches)):
+            bits = res["bits"]
+            bpp_sweeps.append(np.cumsum(
+                [bits[0] + bits[1]] + list(bits[2])) / px)
+            total_bits += bits[0] + bits[1] + sum(bits[2])
+            bs, last_cks = res["bitstreams"], res["ckpts"]
+            if k < 2:
+                metric_src.append((res["bitstreams"], res["x"],
+                                   res["ckpts"]))
+            # x_hat handle dropped here: its buffer frees once the device
+            # reaches it; retaining every sweep's 320 MB x_hat OOMs the
+            # tunnel-exposed HBM at 6 sweeps
+        # device barrier: a fresh no-op program dispatched after all
+        # workers joined completes last (in-order execution), so every
+        # dropped sweep's device work is covered by this sync
+        jax.block_until_ready(to_f32(jnp.zeros((1, 1, 1, 3), np.uint8)))
         elapsed = time.time() - t0
-        # metrics averaged over EVERY pipelined sweep (VERDICT r3 weak #6:
-        # last-sweep-only reporting silently capped the sample), computed
-        # on-device from the retained x_hat handles, outside the timing
-        psnrs = np.mean([np.asarray(per_level_psnr(xh, xp))
-                         for xh, xp in pending], axis=0)
-        msssim = np.mean([np.asarray(per_level_msssim(xh, xp))
-                          for xh, xp in pending], axis=0)
-        bpp_levels = np.mean(bpp_sweeps, axis=0)
+        t_start = pipe.timing["encode_start_s"]
+        t_finish = pipe.timing["encode_finish_s"]
+        t_dec = pipe.timing["decode_s"]
+        finish_phases = pipe.finish_phases
+        # rANS stats captured NOW — the metric re-decode below would
+        # otherwise inflate them
         rans_s = (codec.y_coder.stats["encode_s"]
                   + codec.y_coder.stats["decode_s"]
                   + codec.z_coder.stats["encode_s"]
@@ -331,17 +338,30 @@ def main():
                      + codec.y_coder.stats["decode_syms"]
                      + codec.z_coder.stats["encode_syms"]
                      + codec.z_coder.stats["decode_syms"])
+        # quality metrics OUTSIDE the timed region: re-decode the first
+        # two sweeps (8 images = all unique crops; decode is
+        # deterministic, so this x_hat is bitwise what the timed region
+        # produced and dropped)
+        pend_metrics = []
+        for m_bs, m_x, m_cks in metric_src:
+            m_out = progressive_decode_all(codec, m_bs, rems=rems_arg,
+                                           y_checkpoints=m_cks)
+            pend_metrics.append((per_level_psnr(m_out["x_hat"], m_x),
+                                 per_level_msssim(m_out["x_hat"], m_x)))
+        psnrs = np.mean([np.asarray(p) for p, _ in pend_metrics], axis=0)
+        msssim = np.mean([np.asarray(m) for _, m in pend_metrics], axis=0)
+        bpp_levels = np.mean(bpp_sweeps, axis=0)
         split = {"encode_start_s": round(t_start, 3),
+                 # host-phase walls SUMMED across concurrent workers —
+                 # they overlap, so their sum exceeds `elapsed` by design
                  "encode_finish_s": round(t_finish, 3),
-                 # host-side wall of the decode stage (rANS decode + H2D +
-                 # program dispatch; device completion is NOT awaited here
-                 # — the end-of-loop barrier accounts for it in `elapsed`)
-                 "decode_host_dispatch_s": round(t_dec, 3),
+                 "decode_host_s": round(t_dec, 3),
                  "host_rans_s": round(rans_s, 3),
                  "host_rans_msyms": round(rans_syms / 1e6, 2),
                  "finish_phases": {k: round(v_, 3)
                                    for k, v_ in finish_phases.items()},
-                 "pipelined": True}
+                 "pipelined": True,
+                 "workers": pipe.workers}
         # Sequential (unpipelined) sweeps on the same content: their wall
         # vs the pipelined per-sweep wall is the direct evidence that the
         # host rANS/D2H phase is hidden behind device compute. Averaged
@@ -370,6 +390,9 @@ def main():
          elapsed, last_bs, last_cks) = run(BATCH)
     except Exception as e:  # OOM or tunnel failure -> single-image path
         log(f"batch={BATCH} failed ({type(e).__name__}); retrying batch=1")
+        import gc
+
+        gc.collect()  # drop the failed run's device buffers before retry
         (img_per_s, total_bits, psnrs, msssim, bpp_levels, split, n_done,
          elapsed, last_bs, last_cks) = run(1)
 

@@ -19,19 +19,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(fn, *args, n=3):
-    """Median wall time of fn(*args) with device sync."""
-    import jax
+_DISPATCH_FLOOR = [0.0]  # measured dispatch+fetch latency, set in main()
 
+
+def _force_done(outs):
+    """Round-trip ONE element of the first output leaf to the host.
+
+    `jax.block_until_ready` on the tunneled axon runtime can return
+    before the program actually finishes (observed: a 10-TFLOP program
+    "completing" in 0.6 ms → a bogus 16 PFLOP/s in profile_r5.json), so
+    every timing forces a real D2H data dependency instead. Costs one
+    extra launch + fetch (~30 ms), which is measured as
+    _DISPATCH_FLOOR and subtracted.
+    """
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(outs)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0:1]))
+
+
+def timed(fn, *args, n=3):
+    """Median wall time of fn(*args) with forced-completion sync, minus
+    the measured dispatch+fetch floor."""
     outs = None
     ts = []
     for _ in range(n):
         t0 = time.time()
         outs = fn(*args)
-        jax.block_until_ready(outs)
+        _force_done(outs)
         ts.append(time.time() - t0)
     ts.sort()
-    return ts[len(ts) // 2], outs
+    # floor at 0.1 ms: a program faster than the floor resolution is
+    # reported as "at the floor", never as 0 (div-by-zero in TFLOP/s)
+    return max(ts[len(ts) // 2] - _DISPATCH_FLOOR[0], 1e-4), outs
 
 
 def flops_of(jitted, *args):
@@ -92,6 +113,21 @@ def main(argv=None):
     jax.block_until_ready(out_all["x_hat"])
     warm_s = time.time() - t0
     print(f"# warmup {warm_s:.1f}s", file=sys.stderr, flush=True)
+
+    # measure the dispatch+fetch floor with a trivial program so per-
+    # program timings report device compute, not tunnel latency
+    trivial = jax.jit(lambda a: a + 1.0)
+    _force_done(trivial(jnp.zeros((8,), jnp.float32)))  # compile
+    floor_ts = []
+    for _ in range(5):
+        t0 = time.time()
+        _force_done(trivial(jnp.zeros((8,), jnp.float32)))
+        floor_ts.append(time.time() - t0)
+    floor_ts.sort()
+    _DISPATCH_FLOOR[0] = floor_ts[len(floor_ts) // 2]
+    print(f"# dispatch+fetch floor {_DISPATCH_FLOOR[0]*1e3:.1f} ms "
+          "(subtracted from every per-program timing)",
+          file=sys.stderr, flush=True)
 
     prof = {}
 
@@ -221,6 +257,7 @@ def main(argv=None):
     res = {
         "batch": args.batch,
         "checkpoint": f"{args.ckpt}@{step}",
+        "dispatch_fetch_floor_ms": round(_DISPATCH_FLOOR[0] * 1e3, 1),
         "stage_seconds": {k: round(v_, 4) for k, v_ in
                           sorted(prof.items(), key=lambda kv: -kv[1])},
         "device_program_s": round(dev_total, 3),
