@@ -580,6 +580,64 @@ class PICCodec:
             return f
         return self._prog("widen_i32", make)
 
+    # ---- tunnel bit-packing: the measured link moves ~5 MB/s and the
+    # sweep's D2H is five dense int8 buffers (~10 MB at B=4), so every
+    # buffer is packed on device to its information width and unpacked on
+    # the host (numpy, epic_tpu/codec/progressive.py): shell ids are
+    # 4-bit (<=16 levels), CDF indexes 6-bit (64-entry scale table),
+    # progressive symbols 4-bit with an overflow flag. Pure bit moves —
+    # bitwise-lossless round trips (tests/test_packing.py). ----
+
+    def _p_pack4u(self):
+        """uint4 pack along the last axis: int8 values in [0, 15],
+        [..., c] -> uint8 [..., c//2] (lo nibble = even index)."""
+        def make():
+            def f(a):
+                u = a.astype(jnp.uint8)
+                return u[..., 0::2] | (u[..., 1::2] << 4)
+            return f
+        return self._prog("pack4u", make)
+
+    def _p_pack4_sym(self):
+        """Signed 4-bit symbol pack: values biased +8 into [0, 15]; the
+        flag reports any value outside [-8, 7] (host then falls back to
+        the int8/int16/int32 widening fetch)."""
+        def make():
+            def f(a):
+                flag = ((a > 7) | (a < -8)).any()
+                u = (a.astype(jnp.int16) + 8).astype(jnp.uint8)
+                return u[..., 0::2] | (u[..., 1::2] << 4), flag
+            return f
+        return self._prog("pack4sym", make)
+
+    def _p_pack6(self):
+        """6-bit pack: int8 values in [0, 63], [..., c] (c % 4 == 0) ->
+        uint8 [..., 3c//4] (4 values into 3 bytes, little-endian bits)."""
+        def make():
+            def f(a):
+                u = a.astype(jnp.uint8).reshape(
+                    a.shape[:-1] + (a.shape[-1] // 4, 4))
+                a0, b0, c0, d0 = u[..., 0], u[..., 1], u[..., 2], u[..., 3]
+                o = jnp.stack([a0 | ((b0 & 3) << 6),
+                               (b0 >> 2) | ((c0 & 15) << 4),
+                               (c0 >> 4) | (d0 << 2)], axis=-1)
+                return o.reshape(a.shape[:-1] + (3 * a.shape[-1] // 4,))
+            return f
+        return self._prog("pack6", make)
+
+    def _p_unpack4s_widen(self):
+        """Device-side inverse of the host's signed-4-bit canvas pack
+        (progressive._pack4s_np): uint8 [..., c//2] -> int32 [..., c],
+        fused with the int32 widening of _p_widen."""
+        def make():
+            def f(p):
+                lo = (p & 15).astype(jnp.int32) - 8
+                hi = (p >> 4).astype(jnp.int32) - 8
+                return jnp.stack([lo, hi], axis=-1).reshape(
+                    p.shape[:-1] + (2 * p.shape[-1],))
+            return f
+        return self._prog("unpack4s_widen", make)
+
     def _h2d_sym(self, sym: np.ndarray) -> jnp.ndarray:
         """Upload decoded symbols at the narrowest safe width (the tunnel
         H2D is as slow as D2H; int8 cuts the decoder's biggest upload 4x),

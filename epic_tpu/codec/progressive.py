@@ -64,6 +64,68 @@ def _p_shell_ids(codec: PICCodec, q_list_key):
     return codec._prog(("shell_ids", q_list_key), make)
 
 
+# ---- tunnel bit-packing (host half; device half: PICCodec._p_pack*) ----
+# The tunnel moves ~5 MB/s; every dense int8 buffer crossing it is packed
+# to its information width on the producing side and unpacked on the
+# consuming side. All transforms are exact bit moves (tests/test_packing).
+
+
+def _unpack4u(p: np.ndarray, c: int) -> np.ndarray:
+    """Inverse of PICCodec._p_pack4u: uint8 [..., c//2] ->
+    int8 [..., c] with values in [0, 15]."""
+    u = p.view(np.uint8)
+    out = np.empty(p.shape[:-1] + (c,), np.int8)
+    out[..., 0::2] = (u & 15).astype(np.int8)
+    out[..., 1::2] = (u >> 4).astype(np.int8)
+    return out
+
+
+def _unpack4s(p: np.ndarray, c: int) -> np.ndarray:
+    """Inverse of PICCodec._p_pack4_sym: uint8 [..., c//2] ->
+    int8 [..., c] with values in [-8, 7]."""
+    u = p.view(np.uint8)
+    out = np.empty(p.shape[:-1] + (c,), np.int8)
+    out[..., 0::2] = (u & 15).astype(np.int8) - 8
+    out[..., 1::2] = (u >> 4).astype(np.int8) - 8
+    return out
+
+
+def _unpack6(p: np.ndarray, c: int) -> np.ndarray:
+    """Inverse of PICCodec._p_pack6: uint8 [..., 3c//4] ->
+    int8 [..., c] with values in [0, 63]."""
+    u = p.view(np.uint8).reshape(p.shape[:-1] + (c // 4, 3))
+    o0, o1, o2 = u[..., 0], u[..., 1], u[..., 2]
+    out = np.empty(p.shape[:-1] + (c // 4, 4), np.uint8)
+    out[..., 0] = o0 & 63
+    out[..., 1] = (o0 >> 6) | ((o1 & 15) << 2)
+    out[..., 2] = (o1 >> 4) | ((o2 & 3) << 4)
+    out[..., 3] = o2 >> 2
+    return out.reshape(p.shape[:-1] + (c,)).view(np.int8)
+
+
+def _pack4s_np(a: np.ndarray) -> np.ndarray:
+    """Host-side signed-4-bit pack of the decoded-symbol canvas (values
+    in [-8, 7]) for the H2D upload; device inverse:
+    PICCodec._p_unpack4s_widen."""
+    u = (a.astype(np.int16) + 8).astype(np.uint8)
+    return u[..., 0::2] | (u[..., 1::2] << 4)
+
+
+def _pack_widths(codec: PICCodec, nq: int):
+    """(pack4_ok, pack6_ok) guards: shell ids need <= 16 distinct values
+    and an even last axis; CDF indexes need a <= 64-entry scale table and
+    a last axis divisible by 4. EPIC_PACK=0 disables packing (each packed
+    buffer trades ~30 ms of extra program dispatch for its byte saving —
+    a win only when the link is bandwidth-bound, as the axon tunnel is)."""
+    import os
+
+    if os.environ.get("EPIC_PACK", "1") == "0":
+        return False, False
+    c = codec.model.dim_chunk
+    return (nq <= 15 and c % 2 == 0,
+            len(codec._scale_table) <= 64 and c % 4 == 0)
+
+
 def _shell_order(sid_np, nq: int):
     """Per-image stable sort of the flattened (slice,h,w,c) grid by shell
     id. Returns (order [B,N], starts [B,nq+1]): shell j of image b is the
@@ -204,16 +266,32 @@ def progressive_encode_start(codec: PICCodec, x,
     p8, p16, p32, pflag8, pflag16 = codec._p_prog_sym()(y, mu_s, mask1)
     sid = _p_shell_ids(codec, tuple(q_list))(scale_s)
 
-    # async-copy the int8 buffers (the widths actually fetched in
+    # bit-pack the D2H buffers to their information width (the tunnel
+    # moves ~5 MB/s; the dense int8 sweep fetch is ~10 MB at B=4): shell
+    # ids 4-bit, CDF indexes 6-bit, progressive symbols signed 4-bit with
+    # an overflow flag falling back to the int8/16/32 widening fetch
+    pack4, pack6 = _pack_widths(codec, len(q_list))
+    sid_p = codec._p_pack4u()(sid) if pack4 else sid
+    p4, pflag4 = (codec._p_pack4_sym()(p8) if pack4
+                  else (p8, jnp.asarray(True)))
+    idx_p = codec._p_pack6()(idx_full) if pack6 else idx_full
+    base_idx_p = codec._p_pack6()(base_idx) if pack6 else base_idx
+
+    # async-copy the packed buffers (the widths actually fetched in
     # practice); the widening fallbacks transfer only on their flags
-    for a in (z_sym_dev, base_s8, base_idx, base_flag8, base_flag16,
-              p8, pflag8, pflag16, idx_full, sid):
+    for a in (z_sym_dev, base_s8, base_idx_p, base_flag8, base_flag16,
+              p4, pflag4, pflag8, pflag16, idx_p, sid_p):
         a.copy_to_host_async()
     return {
         "q_list": q_list,
         "z_sym": z_sym_dev,
         "base_s8": base_s8, "base_s16": base_s16, "base_s32": base_s32,
         "base_idx": base_idx,
+        # packed fetch buffers (finish prefers these; the dense device
+        # handles above/below stay for direct consumers and fallbacks)
+        "pack4": pack4, "pack6": pack6,
+        "p4": p4, "pflag4": pflag4,
+        "sid_p": sid_p, "idx_p": idx_p, "base_idx_p": base_idx_p,
         "base_flag8": base_flag8, "base_flag16": base_flag16,
         # decoder routing: io-mode only (scan-mode streams decode via the
         # interleaved programs); "fused" records whether a fused encoder
@@ -258,14 +336,26 @@ def progressive_encode_finish(codec: PICCodec,
                                        st.get("ckpts"), force_io=False)
         return progressive_encode_finish(codec, st2, timing)
     z_sym = np.asarray(jax.device_get(st["z_sym"]))
+    c = codec.model.dim_chunk
+    pack4, pack6 = st.get("pack4"), st.get("pack6")
     base_sym = codec._get_sym(st["base_s8"], st["base_s16"],
                               st["base_s32"], st["base_flag8"],
                               st["base_flag16"])
-    base_idx = np.asarray(jax.device_get(st["base_idx"]))   # int8 buckets
-    sym_np = codec._get_sym(st["p8"], st["p16"], st["p32"],
-                            st["pflag8"], st["pflag16"])
-    idx_np = np.asarray(jax.device_get(st["idx_full"]))
-    sid_np = np.asarray(jax.device_get(st["sid"]))
+    if pack6:  # 6-bit packed CDF buckets (64-entry scale table)
+        base_idx = _unpack6(np.asarray(jax.device_get(st["base_idx_p"])), c)
+        idx_np = _unpack6(np.asarray(jax.device_get(st["idx_p"])), c)
+    else:
+        base_idx = np.asarray(jax.device_get(st["base_idx"]))
+        idx_np = np.asarray(jax.device_get(st["idx_full"]))
+    if pack4 and not bool(jax.device_get(st["pflag4"])):
+        # progressive symbols fit signed 4-bit (the trained-model common
+        # case); overflow falls back to the int8/16/32 widening fetch
+        sym_np = _unpack4s(np.asarray(jax.device_get(st["p4"])), c)
+    else:
+        sym_np = codec._get_sym(st["p8"], st["p16"], st["p32"],
+                                st["pflag8"], st["pflag16"])
+    sid_np = (_unpack4u(np.asarray(jax.device_get(st["sid_p"])), c)
+              if pack4 else np.asarray(jax.device_get(st["sid"])))
     t = tick("fetch_s", t)
 
     z_strings = codec._encode_z(z_sym)
@@ -513,13 +603,23 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
             mu_s, scale_s, mask1, idx_full, msups = codec._p_prog_params(
                 10.0)(v, base_slices, lm, ls)
         sid = _p_shell_ids(codec, tuple(q_list))(scale_s)
-        idx_full.copy_to_host_async()
-        sid.copy_to_host_async()
+        # packed fetch (same bit widths as the encoder side): 6-bit CDF
+        # buckets, 4-bit shell ids; the dense sid stays on device for
+        # _p_prog_reconstruct_all (no H2D re-upload)
+        pack4, pack6 = _pack_widths(codec, len(q_list))
+        idx_fetch = codec._p_pack6()(idx_full) if pack6 else idx_full
+        sid_fetch = codec._p_pack4u()(sid) if pack4 else sid
+        idx_fetch.copy_to_host_async()
+        sid_fetch.copy_to_host_async()
+        c = codec.model.dim_chunk
         cache["entropy"] = (
             mu_s, msups,
-            np.asarray(jax.device_get(idx_full)),   # int8 CDF buckets
-            np.asarray(jax.device_get(sid)),
+            _unpack6(np.asarray(jax.device_get(idx_fetch)), c) if pack6
+            else np.asarray(jax.device_get(idx_fetch)),
+            _unpack4u(np.asarray(jax.device_get(sid_fetch)), c) if pack4
+            else np.asarray(jax.device_get(sid_fetch)),
         )
+        cache["sid_dev"] = sid
         cache["canvas"] = None
         cache["decoded_upto"] = 0
     mu_s, msups, idx_np, sid_np = cache["entropy"]
@@ -614,13 +714,38 @@ def progressive_decode(codec: PICCodec, bitstreams: Dict[str, Any],
         cache["decoded_upto"] = q_ind
     canvas = cache["canvas"]
 
-    canvas_dev = jnp.asarray(canvas)
-    if canvas_dev.dtype != jnp.int32:  # widen on device (see _p_widen)
-        canvas_dev = codec._p_widen()(canvas_dev)
+    canvas_dev = _canvas_to_device(codec, cache, canvas)
     x_hat, y_prog = codec._p_prog_reconstruct()(
         v, canvas_dev, mu_s, msups, base_slices)
     return {"x_hat": x_hat, "y_hat": y_prog, "cache": cache,
             "decode_time": time.time() - t0}
+
+
+def _canvas_to_device(codec: PICCodec, cache: Dict[str, Any],
+                      canvas: np.ndarray) -> jnp.ndarray:
+    """Upload the decoded-symbol canvas at its information width: signed
+    4-bit packed when every symbol fits [-8, 7] (the trained-model common
+    case — halves the decoder's biggest H2D transfer vs int8), else the
+    narrow int dtype + device widening. The int32 device canvas is cached
+    so a following decode-all at the same level reuses it."""
+    import os
+
+    key = cache.get("decoded_upto")
+    cached = cache.get("canvas_dev")
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    if (os.environ.get("EPIC_PACK", "1") != "0"
+            and canvas.dtype == np.int8 and canvas.shape[-1] % 2 == 0
+            and (canvas.size == 0
+                 or (canvas.max(initial=0) <= 7
+                     and canvas.min(initial=0) >= -8))):
+        dev = codec._p_unpack4s_widen()(jnp.asarray(_pack4s_np(canvas)))
+    elif canvas.dtype != np.int32:
+        dev = codec._p_widen()(jnp.asarray(canvas))
+    else:
+        dev = jnp.asarray(canvas)
+    cache["canvas_dev"] = (key, dev)
+    return dev
 
 
 def progressive_decode_all(codec: PICCodec, bitstreams: Dict[str, Any],
@@ -645,11 +770,13 @@ def progressive_decode_all(codec: PICCodec, bitstreams: Dict[str, Any],
     mu_s, msups, idx_np, sid_np = cache["entropy"]
     x_base, _ = codec._p_synth_base()(v, base_slices)
 
-    sym_s = jnp.asarray(cache["canvas"])
-    if sym_s.dtype != jnp.int32:  # widen on device (see _p_widen)
-        sym_s = codec._p_widen()(sym_s)
+    sym_s = _canvas_to_device(codec, cache, cache["canvas"])
+    # sid stays a device handle from the entropy stage (no 2 MB re-upload)
+    sid_dev = cache.get("sid_dev")
+    if sid_dev is None:
+        sid_dev = jnp.asarray(sid_np)
     x_prog, y_prog = codec._p_prog_reconstruct_all(nq)(
-        v, sym_s, jnp.asarray(sid_np), mu_s, msups, base_slices)
+        v, sym_s, sid_dev, mu_s, msups, base_slices)
     x_hat = jnp.concatenate([x_base[None], x_prog], axis=0)
     return {"x_hat": x_hat, "y_prog_top": full["y_hat"],
             "decode_time": time.time() - t0}
